@@ -1,0 +1,155 @@
+"""Tests for the DurationPredictor stack (BASELINE config 4): aligner, MAS
+training loss, CFG-scaled inference, aligned-id oversampling, tokenizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicebox_tpu.models.duration import (
+    Aligner,
+    DurationPredictor,
+    align_phoneme_ids_with_durations,
+)
+from voicebox_tpu.utils.tokenizer import GraphemeTokenizer, Tokenizer
+
+
+def _small_dp(**kw):
+    if "tokenizer" not in kw:
+        kw.setdefault("num_phoneme_tokens", 40)
+    return DurationPredictor(
+        dim_phoneme_emb=32, dim=32, depth=2,
+        dim_head=8, heads=4, aligner_dim_in=13, aligner_attn_channels=13, **kw,
+    )
+
+
+class TestTokenizer:
+    def test_grapheme_fallback(self):
+        tok = Tokenizer()
+        assert isinstance(tok, GraphemeTokenizer)
+        ids = tok.texts_to_tensor_ids(["hello", "hi"])
+        assert ids.shape == (2, 5)
+        assert (ids[1, 2:] == -1).all()  # pad id -1
+        assert (ids[0] >= 0).all()
+
+    def test_deterministic(self):
+        a = GraphemeTokenizer().texts_to_tensor_ids(["abc def"])
+        b = GraphemeTokenizer().texts_to_tensor_ids(["abc def"])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAligner:
+    def test_shapes_and_normalisation(self, rng):
+        al = Aligner(dim_in=13, dim_hidden=32, attn_channels=13)
+        mel = jax.random.normal(rng, (2, 13, 20))  # (b, c, t_mel)
+        keys = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+        mask = jnp.ones((2, 7), dtype=bool)
+        params = al.init(rng, mel, keys, mask)
+        soft, logprob = al.apply(params, mel, keys, mask)
+        assert soft.shape == (2, 1, 20, 7)
+        assert logprob.shape == (2, 1, 20, 7)
+        np.testing.assert_allclose(soft.sum(-1), 1.0, rtol=1e-4)
+
+    def test_masked_keys_get_zero_prob(self, rng):
+        al = Aligner(dim_in=13, dim_hidden=32, attn_channels=13)
+        mel = jax.random.normal(rng, (1, 13, 10))
+        keys = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 32))
+        mask = jnp.array([[True, True, True, False, False, False]])
+        params = al.init(rng, mel, keys, mask)
+        soft, _ = al.apply(params, mel, keys, mask)
+        np.testing.assert_allclose(soft[0, 0, :, 3:], 0.0, atol=1e-6)
+
+
+class TestAlignIds:
+    def test_oversampling(self):
+        ids = jnp.array([[5, 9, 7]])
+        durations = jnp.array([[2.0, 1.0, 3.0]])
+        out = align_phoneme_ids_with_durations(ids, durations)
+        np.testing.assert_array_equal(out, [[5, 5, 9, 7, 7, 7]])
+
+    def test_clamp_min_one(self):
+        ids = jnp.array([[1, 2]])
+        durations = jnp.array([[0.0, 2.0]])  # 0 clamps to 1
+        out = align_phoneme_ids_with_durations(ids, durations)
+        np.testing.assert_array_equal(out, [[1, 2, 2]])
+
+    def test_static_total_length(self):
+        ids = jnp.array([[1, 2]])
+        out = align_phoneme_ids_with_durations(ids, jnp.array([[2.0, 2.0]]),
+                                               total_length=6)
+        assert out.shape == (1, 6)
+        np.testing.assert_array_equal(out, [[1, 1, 2, 2, 2, 2]])
+
+
+class TestDurationPredictor:
+    def test_train_loss(self, rng):
+        dp = _small_dp()
+        dp.init_params(rng, seq_len=20, n_phonemes=8, batch=2)
+        loss = dp.loss_fn(
+            dp.params, rng,
+            cond=jax.random.normal(rng, (2, 20, 32)),
+            phoneme_ids=jnp.tile(jnp.arange(8)[None], (2, 1)),
+            mel=jax.random.normal(jax.random.PRNGKey(1), (2, 20, 13)),
+            phoneme_len=jnp.array([8, 6]),
+            mel_len=jnp.array([20, 15]),
+            phoneme_mask=jnp.arange(8)[None, :] < jnp.array([8, 6])[:, None],
+            mel_mask=jnp.arange(20)[None, :] < jnp.array([20, 15])[:, None],
+        )
+        assert jnp.isfinite(loss)
+
+    def test_loss_grad(self, rng):
+        dp = _small_dp()
+        dp.init_params(rng, seq_len=12, n_phonemes=6, batch=1)
+
+        def loss(params):
+            return dp.loss_fn(
+                params, rng,
+                cond=jnp.ones((1, 12, 32)) * 0.1,
+                phoneme_ids=jnp.arange(6)[None],
+                mel=jnp.ones((1, 12, 13)) * 0.1,
+                phoneme_len=jnp.array([6]),
+                mel_len=jnp.array([12]),
+                phoneme_mask=jnp.ones((1, 6), bool),
+                mel_mask=jnp.ones((1, 12), bool),
+            )
+
+        g = jax.grad(loss)(dp.params)
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.isfinite(x).all() for x in leaves)
+        assert any(jnp.abs(x).max() > 0 for x in leaves)
+
+    def test_inference_durations(self, rng):
+        dp = _small_dp()
+        dp.init_params(rng, seq_len=20, n_phonemes=8, batch=2)
+        durations = dp(
+            cond=jax.random.normal(rng, (2, 20, 32)),
+            phoneme_ids=jnp.tile(jnp.arange(8)[None], (2, 1)),
+        )
+        assert durations.shape == (2, 8)
+
+    def test_cfg_scaled_with_aligned_ids(self, rng):
+        dp = _small_dp()
+        dp.init_params(rng, seq_len=8, n_phonemes=8, batch=1)
+        ids = jnp.arange(8)[None]
+        durations, aligned = dp.forward_with_cond_scale(
+            cond=jax.random.normal(rng, (1, 8, 32)),
+            phoneme_ids=ids,
+            cond_scale=2.0,
+            return_aligned_phoneme_ids=True,
+        )
+        assert durations.shape == (1, 8)
+        assert aligned.ndim == 2
+        # aligned ids must all come from the input ids
+        assert set(np.asarray(aligned[0]).tolist()) <= set(range(8))
+
+    def test_texts_path_via_tokenizer(self, rng):
+        dp = _small_dp(tokenizer=GraphemeTokenizer())
+        # vocab comes from the tokenizer now
+        assert dp.net.num_phoneme_tokens == GraphemeTokenizer().vocab_size
+        dp.init_params(rng, seq_len=10, n_phonemes=5, batch=1)
+        durations = dp(cond=jnp.zeros((1, 10, 32)), texts=["hello"])
+        assert durations.shape == (1, 5)
+
+    def test_tokenizer_and_num_tokens_mutex(self):
+        with pytest.raises(AssertionError):
+            DurationPredictor(tokenizer=GraphemeTokenizer(), num_phoneme_tokens=10)

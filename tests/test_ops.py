@@ -1,0 +1,175 @@
+"""Unit tests for voicebox_tpu.ops: masks, interpolation, ODE solvers,
+gateloop recurrence, attention numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicebox_tpu.ops import (
+    attend,
+    curtail_or_pad,
+    gated_linear_recurrence,
+    interpolate_1d,
+    mask_from_frac_lengths,
+    mask_from_start_end_indices,
+    odeint,
+    odeint_midpoint,
+    prob_mask_like,
+    reduce_masks_with_and,
+    reference_attention,
+)
+
+
+class TestMasks:
+    def test_prob_mask_fast_paths(self, rng):
+        assert prob_mask_like(rng, (3, 4), 1).all()
+        assert not prob_mask_like(rng, (3, 4), 0).any()
+
+    def test_prob_mask_rate(self, rng):
+        m = prob_mask_like(rng, (10000,), 0.3)
+        assert 0.27 < m.mean() < 0.33
+
+    def test_reduce_masks(self):
+        a = jnp.array([True, True, False])
+        b = jnp.array([True, False, False])
+        assert reduce_masks_with_and(None, None) is None
+        np.testing.assert_array_equal(reduce_masks_with_and(a, None), a)
+        np.testing.assert_array_equal(reduce_masks_with_and(a, b), a & b)
+
+    def test_mask_from_start_end(self):
+        m = mask_from_start_end_indices(6, jnp.array([1, 0]), jnp.array([4, 2]))
+        np.testing.assert_array_equal(
+            m,
+            [[False, True, True, True, False, False],
+             [True, True, False, False, False, False]],
+        )
+
+    def test_mask_from_frac_lengths_coverage(self, rng):
+        seq_len = 100
+        frac = jnp.full((64,), 0.7)
+        m = mask_from_frac_lengths(rng, seq_len, frac)
+        # each row covers exactly int(0.7*100) = 70 contiguous positions
+        assert (m.sum(-1) == 70).all()
+        # contiguity: diff changes sign at most twice
+        d = jnp.abs(jnp.diff(m.astype(jnp.int32), axis=-1)).sum(-1)
+        assert (d <= 2).all()
+
+    def test_mask_from_frac_lengths_jits(self, rng):
+        f = jax.jit(lambda k, fr: mask_from_frac_lengths(k, 50, fr))
+        out = f(rng, jnp.array([0.5, 0.9]))
+        assert out.shape == (2, 50)
+
+
+class TestInterp:
+    def test_identity_length(self):
+        x = jnp.arange(12.0).reshape(1, 3, 4)
+        np.testing.assert_allclose(interpolate_1d(x, 4), x, atol=1e-6)
+
+    def test_upsample_linear(self):
+        x = jnp.array([[0.0, 1.0]])
+        out = interpolate_1d(x, 4)
+        # half-pixel-center linear resize (matches torch bilinear, align_corners=False)
+        np.testing.assert_allclose(out, [[0.0, 0.25, 0.75, 1.0]], atol=1e-6)
+
+    def test_bool_roundtrip(self):
+        m = jnp.array([[True, True, False, False]])
+        out = interpolate_1d(m, 8)
+        assert out.dtype == jnp.bool_
+        assert out[0, 0] and not out[0, -1]
+
+    def test_curtail_or_pad(self):
+        x = jnp.ones((2, 5, 3))
+        assert curtail_or_pad(x, 3).shape == (2, 3, 3)
+        padded = curtail_or_pad(x, 8)
+        assert padded.shape == (2, 8, 3)
+        assert (padded[:, 5:] == 0).all()
+
+
+class TestODE:
+    def test_exponential_decay(self):
+        # dy/dt = -y, y0 = 1 -> y(1) = e^-1
+        fn = lambda t, y: -y
+        y0 = jnp.ones((4,))
+        yT, traj = odeint_midpoint(fn, y0, jnp.linspace(0, 1, 33))
+        np.testing.assert_allclose(yT, np.exp(-1.0), rtol=1e-3)
+        assert traj.shape == (33, 4)
+
+    def test_time_dependent(self):
+        # dy/dt = 2t -> y(1) = y0 + 1; midpoint is exact for linear-in-t fields
+        fn = lambda t, y: jnp.full_like(y, 2 * t)
+        yT, _ = odeint_midpoint(fn, jnp.zeros((2,)), jnp.linspace(0, 1, 3))
+        np.testing.assert_allclose(yT, 1.0, rtol=1e-6)
+
+    def test_methods_converge(self):
+        fn = lambda t, y: -y
+        y0 = jnp.ones(())
+        for method, rtol in [("euler", 5e-2), ("midpoint", 1e-3), ("rk4", 1e-6)]:
+            yT, _ = odeint(fn, y0, jnp.linspace(0, 1, 17), method=method)
+            np.testing.assert_allclose(yT, np.exp(-1.0), rtol=rtol)
+
+    def test_jit_and_grad(self):
+        def loss(a):
+            fn = lambda t, y: a * y
+            yT, _ = odeint_midpoint(fn, jnp.ones(()), jnp.linspace(0, 1, 9))
+            return yT
+
+        g = jax.jit(jax.grad(loss))(-1.0)
+        # d/da e^a at a=-1 is e^-1
+        np.testing.assert_allclose(g, np.exp(-1.0), rtol=1e-2)
+
+
+class TestGateLoop:
+    def test_matches_sequential_scan(self, rng):
+        k1, k2 = jax.random.split(rng)
+        a = jax.nn.sigmoid(jax.random.normal(k1, (2, 16, 8)))
+        x = jax.random.normal(k2, (2, 16, 8))
+        out = gated_linear_recurrence(a, x, axis=1)
+
+        # sequential reference
+        s = np.zeros((2, 8))
+        expected = np.zeros((2, 16, 8))
+        for t in range(16):
+            s = np.asarray(a[:, t]) * s + np.asarray(x[:, t])
+            expected[:, t] = s
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+class TestAttention:
+    def _naive(self, q, k, v, mask=None, scale=None):
+        scale = scale if scale is not None else q.shape[-1] ** -0.5
+        sim = np.einsum("bhid,bhjd->bhij", q, k) * scale
+        if mask is not None:
+            sim = np.where(mask[:, None, None, :], sim, -1e30)
+        sim = sim - sim.max(-1, keepdims=True)
+        attn = np.exp(sim)
+        attn = attn / attn.sum(-1, keepdims=True)
+        return np.einsum("bhij,bhjd->bhid", attn, v)
+
+    def test_reference_attention_matches_naive(self, rng):
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (2, 4, 37, 16))
+        k = jax.random.normal(ks[1], (2, 4, 37, 16))
+        v = jax.random.normal(ks[2], (2, 4, 37, 16))
+        mask = jnp.arange(37)[None, :] < jnp.array([30, 37])[:, None]
+        out = reference_attention(q, k, v, mask)
+        expected = self._naive(np.asarray(q), np.asarray(k), np.asarray(v), np.asarray(mask))
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+    def test_custom_scale(self, rng):
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (1, 2, 8, 4))
+        k = jax.random.normal(ks[1], (1, 2, 8, 4))
+        v = jax.random.normal(ks[2], (1, 2, 8, 4))
+        out = reference_attention(q, k, v, scale=10.0)
+        expected = self._naive(np.asarray(q), np.asarray(k), np.asarray(v), scale=10.0)
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+    def test_attend_dispatch_cpu(self, rng):
+        # on CPU the dispatcher must take the XLA path and agree with it
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (1, 2, 12, 8))
+        k = jax.random.normal(ks[1], (1, 2, 12, 8))
+        v = jax.random.normal(ks[2], (1, 2, 12, 8))
+        out = attend(q, k, v)
+        np.testing.assert_allclose(out, reference_attention(q, k, v), rtol=1e-5)

@@ -1,0 +1,152 @@
+"""Tests for the semantic-conditioning stack (BASELINE config 5):
+HubertWithKmeans + TextToSemantic + full pipeline through the CFM wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicebox_tpu.models.hubert import HubertWithKmeans
+from voicebox_tpu.models.text_to_semantic import TextToSemantic
+from voicebox_tpu.utils.tokenizer import GraphemeTokenizer
+
+
+@pytest.fixture(scope="module")
+def wav2vec():
+    return HubertWithKmeans(num_clusters=50, dim=64, depth=2, heads=4)
+
+
+@pytest.fixture(scope="module")
+def tts(wav2vec):
+    t = TextToSemantic(
+        dim=32, source_depth=2, target_depth=2, heads=4, dim_head=8,
+        wav2vec=wav2vec, tokenizer=GraphemeTokenizer(),
+    )
+    t.init_params(jax.random.PRNGKey(0))
+    return t
+
+
+class TestHubert:
+    def test_token_contract(self, wav2vec):
+        wav = jax.random.normal(jax.random.PRNGKey(0), (2, 6400))  # 0.4 s @ 16 kHz
+        ids = wav2vec(wav)
+        assert ids.ndim == 2 and ids.shape[0] == 2
+        assert ids.dtype in (jnp.int32, jnp.int64)
+        assert (ids >= 0).all() and (ids < 50).all()
+
+    def test_downsample_factor(self, wav2vec):
+        assert wav2vec.downsample_factor == 320
+        assert wav2vec.target_sample_hz == 16000
+        wav = jnp.zeros((1, 3200))
+        # conv stack is VALID-padded so frames ~ n/320 (within edge trim)
+        frames = wav2vec(wav).shape[1]
+        assert 6 <= frames <= 10
+
+    def test_channel_dim_accepted(self, wav2vec):
+        ids = wav2vec(jnp.zeros((1, 1, 3200)))
+        assert ids.ndim == 2
+
+    def test_deterministic(self, wav2vec):
+        wav = jax.random.normal(jax.random.PRNGKey(1), (1, 3200))
+        np.testing.assert_array_equal(wav2vec(wav), wav2vec(wav))
+
+
+class TestTextToSemantic:
+    def test_train_loss(self, tts):
+        text = jnp.asarray(tts.tokenizer.texts_to_tensor_ids(["hello there"]))
+        sem = jax.random.randint(jax.random.PRNGKey(0), (1, 12), 0, 50)
+        loss = tts.loss_fn(tts.params, text, sem)
+        assert jnp.isfinite(loss) and loss > 0
+
+    def test_loss_grad(self, tts):
+        text = jnp.asarray(tts.tokenizer.texts_to_tensor_ids(["abc"]))
+        sem = jax.random.randint(jax.random.PRNGKey(0), (1, 6), 0, 50)
+        g = jax.grad(tts.loss_fn)(tts.params, text, sem)
+        assert all(jnp.isfinite(x).all() for x in jax.tree.leaves(g))
+
+    def test_generate_contract(self, tts):
+        ids, mask = tts.generate(
+            ["hello"], source_type="text", target_type="speech",
+            max_length=12, return_target_mask=True,
+        )
+        assert ids.shape == (1, 12)
+        assert mask.shape == (1, 12)
+        assert mask.dtype == jnp.bool_
+        # valid ids within semantic vocab wherever mask is True
+        assert (jnp.where(mask, ids, 0) < 50 + 2).all()
+
+    def test_generate_greedy_deterministic(self, tts):
+        a, _ = tts.generate(["same text"], max_length=8, return_target_mask=True,
+                            rng=jax.random.PRNGKey(7))
+        b, _ = tts.generate(["same text"], max_length=8, return_target_mask=True,
+                            rng=jax.random.PRNGKey(8))
+        np.testing.assert_array_equal(a, b)  # temperature=0 -> rng-independent
+
+    def test_cached_decode_matches_teacher_forcing(self, tts):
+        """The KV-cached scan decode must produce the same greedy tokens as
+        repeatedly running the full teacher-forced forward."""
+        text = jnp.asarray(tts.tokenizer.texts_to_tensor_ids(["check this"]))
+        max_len = 6
+        ids, _ = tts.generate(text, max_length=max_len, return_target_mask=True)
+
+        # naive greedy via full forward
+        net = tts.net
+        tokens = []
+        cur = jnp.zeros((1, 0), dtype=jnp.int32)
+        for t in range(max_len):
+            logits = net.apply({"params": tts.params}, text, cur)
+            nxt = int(jnp.argmax(logits[:, -1], axis=-1)[0])
+            tokens.append(nxt)
+            if nxt == net.eos_id:
+                break
+            cur = jnp.concatenate([cur, jnp.full((1, 1), nxt, jnp.int32)], axis=1)
+
+        cached = np.asarray(ids[0])
+        for i, tok in enumerate(tokens):
+            if tok == net.eos_id:
+                break
+            assert cached[i] == tok, f"step {i}: cached {cached[i]} != naive {tok}"
+
+    def test_spec_decode_flag_accepted(self, tts):
+        ids = tts.generate(["x"], max_length=4, spec_decode=True)
+        assert ids.shape == (1, 4)
+
+
+class TestFullPipeline:
+    def test_text_to_speech_sample(self, tts, wav2vec):
+        # config 5: texts -> TextToSemantic.generate -> VoiceBox CFM sample
+        from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+
+        vb = VoiceBox(
+            dim_in=32, dim=32, depth=2, dim_head=8, heads=4, dim_cond_emb=32,
+            num_register_tokens=2, condition_on_text=True, num_cond_tokens=50,
+        )
+        cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=1)
+
+        out = cfm.sample(
+            texts=["hello world"], steps=2, max_semantic_token_ids=16,
+            decode_to_audio=False,
+        )
+        assert out.ndim == 3 and out.shape[0] == 1 and out.shape[2] == 32
+        assert jnp.isfinite(out).all()
+
+    def test_wav2vec_ids_in_training(self, tts, wav2vec):
+        # raw audio -> hubert ids path of the wrapper (voicebox_pytorch.py:1384-1389)
+        from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.vocos import Vocos
+
+        codec = MelVoco(vocos=Vocos(input_channels=100, dim=32,
+                                    intermediate_dim=64, num_layers=2))
+        vb = VoiceBox(
+            audio_enc_dec=codec, dim=64, depth=2, dim_head=8, heads=4,
+            dim_cond_emb=32, num_register_tokens=2, condition_on_text=True,
+            num_cond_tokens=50,
+        )
+        cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=31, batch=1)
+
+        audio = jax.random.normal(jax.random.PRNGKey(1), (1, 4800)) * 0.1
+        loss = cfm(audio, input_sampling_rate=24000)
+        assert jnp.isfinite(loss)

@@ -1,0 +1,92 @@
+"""Tests for the L1 Transformer backbone: registers, U-Net skips, adaptive
+norm conditioning, masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicebox_tpu.models.transformer import Transformer
+
+
+def _make(depth=4, **kw):
+    return Transformer(dim=32, depth=depth, dim_head=8, heads=4, **kw)
+
+
+class TestTransformer:
+    def test_basic_shape(self, rng):
+        mod = _make()
+        x = jax.random.normal(rng, (2, 10, 32))
+        params = mod.init(rng, x)
+        out = mod.apply(params, x)
+        assert out.shape == (2, 10, 32)
+
+    def test_odd_depth_asserts(self, rng):
+        with pytest.raises(AssertionError):
+            _make(depth=3).init(rng, jnp.zeros((1, 4, 32)))
+
+    def test_register_tokens_removed(self, rng):
+        mod = _make(num_register_tokens=6)
+        x = jax.random.normal(rng, (2, 10, 32))
+        params = mod.init(rng, x)
+        out = mod.apply(params, x)
+        assert out.shape == (2, 10, 32)
+        assert params["params"]["register_tokens"].shape == (6, 32)
+
+    def test_unet_skip_combiners_in_second_half_only(self, rng):
+        mod = _make(depth=4, use_unet_skip_connection=True)
+        params = mod.init(rng, jnp.zeros((1, 4, 32)))
+        keys = params["params"].keys()
+        assert "skip_combiner_2" in keys and "skip_combiner_3" in keys
+        assert "skip_combiner_0" not in keys and "skip_combiner_1" not in keys
+
+    def test_adaptive_norm_conditioning_changes_output(self, rng):
+        mod = _make(adaptive_rmsnorm=True, adaptive_rmsnorm_cond_dim_in=16)
+        x = jax.random.normal(rng, (2, 8, 32))
+        cond_a = jnp.zeros((2, 16))
+        cond_b = jnp.ones((2, 16))
+        params = mod.init(rng, x, adaptive_rmsnorm_cond=cond_a)
+        # the cond regressors are zero-init (identity) — perturb one so the
+        # conditioning path is actually live
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, p: p + 0.05
+            if any(getattr(k, "key", None) == "to_gamma" for k in path)
+            else p,
+            params,
+        )
+        out_a = mod.apply(params, x, adaptive_rmsnorm_cond=cond_a)
+        out_b = mod.apply(params, x, adaptive_rmsnorm_cond=cond_b)
+        assert not np.allclose(out_a, out_b)
+
+    def test_mask_blocks_padded_keys(self, rng):
+        # changing values at masked (padded) positions must not change the
+        # outputs at unmasked positions
+        mod = _make()
+        x = jax.random.normal(rng, (1, 10, 32))
+        mask = jnp.arange(10)[None, :] < 6
+        params = mod.init(rng, x, mask=mask)
+        out1 = mod.apply(params, x, mask=mask)
+        x2 = x.at[:, 6:].add(100.0)
+        out2 = mod.apply(params, x2, mask=mask)
+        np.testing.assert_allclose(out1[:, :6], out2[:, :6], rtol=1e-4, atol=1e-4)
+
+    def test_gateloop_layers(self, rng):
+        mod = _make(use_gateloop_layers=True)
+        x = jax.random.normal(rng, (1, 6, 32))
+        params = mod.init(rng, x)
+        assert "gateloop" in params["params"]["block_0"]
+        assert mod.apply(params, x).shape == x.shape
+
+    def test_qk_norm(self, rng):
+        mod = _make(attn_qk_norm=True)
+        x = jax.random.normal(rng, (1, 6, 32))
+        params = mod.init(rng, x)
+        assert "q_norm" in params["params"]["block_0"]["attn"]
+        assert jnp.isfinite(mod.apply(params, x)).all()
+
+    def test_jit(self, rng):
+        mod = _make(num_register_tokens=2, use_unet_skip_connection=True)
+        x = jax.random.normal(rng, (2, 8, 32))
+        params = mod.init(rng, x)
+        out = jax.jit(mod.apply)(params, x)
+        assert jnp.isfinite(out).all()

@@ -1,0 +1,216 @@
+"""Tests for VoiceBox (L3) + ConditionalFlowMatcherWrapper (L4): the README
+mock-data smoke paths (BASELINE configs), CFM math, CFG batching, masking
+semantics, and the overfit convergence canary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+
+
+def _uncond(dim=64, depth=2, **kw):
+    return VoiceBox(
+        dim_in=dim, dim=dim, depth=depth, dim_head=16, heads=4,
+        num_register_tokens=4, condition_on_text=False, **kw,
+    )
+
+
+def _cond(dim=64, num_cond_tokens=50, **kw):
+    return VoiceBox(
+        dim_in=dim, dim=dim, depth=2, dim_head=16, heads=4, dim_cond_emb=dim,
+        num_register_tokens=4, condition_on_text=True,
+        num_cond_tokens=num_cond_tokens, **kw,
+    )
+
+
+class TestVoiceBox:
+    def test_uncond_logits_shape(self, rng):
+        vb = _uncond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x)["params"]
+        out = vb.apply({"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), cond=x)
+        assert out.shape == (2, 16, 64)
+
+    def test_scalar_times_broadcast(self, rng):
+        vb = _uncond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x)["params"]
+        out_scalar = vb.apply({"params": params}, x, cond_drop_prob=0.0, times=jnp.asarray(0.5), cond=x)
+        out_vec = vb.apply({"params": params}, x, cond_drop_prob=0.0, times=jnp.full((2,), 0.5), cond=x)
+        np.testing.assert_allclose(out_scalar, out_vec, rtol=1e-5)
+
+    def test_cond_defaults_to_target(self, rng):
+        # reference quirk (voicebox_pytorch.py:1003): cond = default(cond, target)
+        vb = _uncond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        tgt = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 64))
+        cm = jnp.zeros((2, 16), dtype=bool)
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x)["params"]
+        loss_default = vb.apply(
+            {"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), target=tgt, cond_mask=cm
+        )
+        loss_explicit = vb.apply(
+            {"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), target=tgt, cond=tgt,
+            cond_mask=cm,
+        )
+        np.testing.assert_allclose(loss_default, loss_explicit, rtol=1e-6)
+
+    def test_cond_zeroed_inside_mask(self, rng):
+        # changing cond values inside the masked (to-generate) span must not
+        # change the output — section 3.2 semantics
+        vb = _uncond()
+        x = jax.random.normal(rng, (1, 16, 64))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 64))
+        cond_mask = jnp.arange(16)[None, :] >= 8
+        params = vb.init({"params": rng}, x, times=jnp.zeros((1,)), cond=cond)["params"]
+        out1 = vb.apply({"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((1,)), cond=cond,
+                        cond_mask=cond_mask)
+        cond2 = cond.at[:, 8:].add(100.0)
+        out2 = vb.apply({"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((1,)), cond=cond2,
+                        cond_mask=cond_mask)
+        np.testing.assert_allclose(out1, out2, rtol=1e-5)
+
+    def test_cfg_drop_nulls_everything(self, rng):
+        vb = _cond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 50)
+        init_kwargs = dict(times=jnp.zeros((2,)), cond=x, cond_token_ids=ids)
+        params = vb.init({"params": rng}, x, **init_kwargs)["params"]
+        drop = jnp.ones((2,), dtype=bool)
+        out_dropped = vb.apply(
+            {"params": params}, x, times=jnp.zeros((2,)), cond=x,
+            cond_token_ids=ids, cond_drop_mask=drop,
+        )
+        ids2 = (ids + 7) % 50
+        out_dropped2 = vb.apply(
+            {"params": params}, x, times=jnp.zeros((2,)), cond=x + 3.0,
+            cond_token_ids=ids2, cond_drop_mask=drop,
+        )
+        np.testing.assert_allclose(out_dropped, out_dropped2, rtol=1e-5)
+
+    def test_cond_emb_interpolated_to_seq_len(self, rng):
+        vb = _cond()
+        x = jax.random.normal(rng, (2, 32, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, 50)
+        params = vb.init(
+            {"params": rng}, x, times=jnp.zeros((2,)), cond=x, cond_token_ids=ids
+        )["params"]
+        out = vb.apply(
+            {"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), cond=x, cond_token_ids=ids
+        )
+        assert out.shape == (2, 32, 64)
+
+    def test_loss_is_masked_mean(self, rng):
+        vb = _uncond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        tgt = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 64))
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x)["params"]
+        cond_mask = jnp.arange(16)[None, :] >= jnp.array([4, 8])[:, None]
+        loss = vb.apply(
+            {"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), cond=x, target=tgt,
+            cond_mask=cond_mask,
+        )
+        pred = vb.apply(
+            {"params": params}, x, cond_drop_prob=0.0, times=jnp.zeros((2,)), cond=x, cond_mask=cond_mask
+        )
+        per_frame = np.mean((np.asarray(pred) - np.asarray(tgt)) ** 2, axis=-1)
+        m = np.asarray(cond_mask)
+        expected = np.mean(
+            [(per_frame[i] * m[i]).sum() / m[i].sum() for i in range(2)]
+        )
+        np.testing.assert_allclose(loss, expected, rtol=1e-4)
+
+
+class TestCFMWrapper:
+    def test_readme_uncond_smoke(self, rng):
+        # README.md:125-137 unconditional latent smoke test (scaled down)
+        vb = _uncond()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=32, batch=2)
+        x = jax.random.normal(rng, (2, 32, 64))
+        loss = cfm(x)
+        assert jnp.isfinite(loss)
+        out = cfm.sample(cond=x, steps=3)
+        assert out.shape == x.shape
+
+    def test_loss_grad_finite(self, rng):
+        vb = _uncond()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        params = cfm.init_params(rng, seq_len=16, batch=2)
+        x = jax.random.normal(rng, (2, 16, 64))
+        grads = jax.grad(cfm.loss_fn)(params, x, rng)
+        flat = jax.tree.leaves(grads)
+        assert all(jnp.isfinite(g).all() for g in flat)
+        # at least some gradients nonzero
+        assert any(jnp.abs(g).max() > 0 for g in flat)
+
+    def test_cfg_equals_manual_lerp(self, rng):
+        vb = _cond()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        params = cfm.init_params(rng, seq_len=16, batch=2)
+        x = jax.random.normal(rng, (2, 16, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 50)
+
+        # one batched CFG forward must equal the two-forward lerp
+        def fwd(drop):
+            dm = jnp.full((2,), drop)
+            return vb.apply(
+                {"params": params}, x, times=jnp.full((2,), 0.3), cond=x,
+                cond_token_ids=ids, cond_drop_mask=dm,
+                cond_mask=jnp.ones((2, 16), bool),
+            )
+
+        scale = 1.5
+        expected = fwd(True) + (fwd(False) - fwd(True)) * scale
+
+        # verify sample() runs the batched-CFG path end to end
+        out = cfm.sample(cond=x, semantic_token_ids=ids, steps=2, cond_scale=scale)
+        assert out.shape == x.shape
+        assert jnp.isfinite(out).all()
+        assert jnp.isfinite(expected).all()
+
+    def test_sigma_changes_interpolation(self, rng):
+        vb = _uncond()
+        cfm0 = ConditionalFlowMatcherWrapper(vb, sigma=0.0)
+        p = cfm0.init_params(rng, seq_len=8, batch=1)
+        cfm1 = ConditionalFlowMatcherWrapper(vb, sigma=0.5, params=p)
+        x = jax.random.normal(rng, (1, 8, 64))
+        l0 = cfm0.loss_fn(p, x, jax.random.PRNGKey(9))
+        l1 = cfm1.loss_fn(p, x, jax.random.PRNGKey(9))
+        assert not np.allclose(l0, l1)
+
+    def test_overfit_one_batch(self, rng):
+        # convergence canary: loss decreases on a single repeated batch
+        vb = _uncond(dim=32, depth=2)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        params = cfm.init_params(rng, seq_len=16, batch=4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32)) * 0.1
+
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(cfm.loss_fn)(params, x, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        key = rng
+        for i in range(60):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
+            losses.append(float(loss))
+        early = np.mean(losses[:10])
+        late = np.mean(losses[-10:])
+        assert late < early * 0.8, f"no convergence: {early} -> {late}"
+
+    def test_raw_audio_requires_codec(self, rng):
+        vb = _uncond()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng)
+        with pytest.raises(AssertionError):
+            cfm(jnp.zeros((2, 1200)))  # (b, n) raw audio, no codec attached

@@ -1,0 +1,66 @@
+"""Multi-head bidirectional attention (flax.linen).
+
+Mirrors the reference `Attention` module (voicebox_pytorch.py:289-333): fused
+QKV projection (no bias), optional per-head QK-RMSNorm with a fixed softmax
+scale (22B-ViT-style, scale 10), rotary embedding on q and k, output
+projection without bias. The score math runs through
+`voicebox_tpu.ops.flash_attention` — a Pallas online-softmax kernel on TPU, an
+XLA einsum elsewhere (the reference's analogous dispatch lives in
+attend.py:38-137).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.flash_attention import attend
+from .primitives import MultiheadRMSNorm, apply_rotary_pos_emb
+
+__all__ = ["Attention"]
+
+
+class Attention(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    use_flash: Optional[bool] = None
+    qk_norm: bool = False
+    qk_norm_scale: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        rotary_emb: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        dim_inner = h * d
+
+        qkv = nn.Dense(dim_inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # (b, n, h*d) -> (b, h, n, d)
+        q, k, v = (
+            t.reshape(b, n, h, d).transpose(0, 2, 1, 3) for t in (q, k, v)
+        )
+
+        if self.qk_norm:
+            q = MultiheadRMSNorm(dim=d, heads=h, name="q_norm")(q)
+            k = MultiheadRMSNorm(dim=d, heads=h, name="k_norm")(k)
+
+        if rotary_emb is not None:
+            q = apply_rotary_pos_emb(rotary_emb, q)
+            k = apply_rotary_pos_emb(rotary_emb, k)
+
+        scale = self.qk_norm_scale if self.qk_norm else None
+        out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

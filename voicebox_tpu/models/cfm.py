@@ -1,0 +1,429 @@
+"""L4: conditional flow matching wrapper — CFM training objective + jitted ODE
+sampler + conditioning orchestration.
+
+Re-design of the reference `ConditionalFlowMatcherWrapper`
+(voicebox_pytorch.py:1122-1427) for TPU execution:
+
+* the CFM objective follows eq (5)/(6) of arXiv 2306.15687 exactly as the
+  reference does (voicebox_pytorch.py:1397-1410):
+  `x0 ~ N(0, I)`, `t ~ U(0,1)` per sample,
+  `w = (1 - (1 - sigma) t) x0 + t x1`, `flow = x1 - (1 - sigma) x0`;
+* sampling replaces torchdiffeq/torchode with a fixed-step midpoint solver
+  under `lax.scan` (`voicebox_tpu.ops.ode`) compiled ONCE per static config —
+  the whole ODE solve, including every transformer forward, is a single XLA
+  program;
+* classifier-free guidance (`cond_scale != 1`) runs as one batched `2b`
+  forward per vector-field evaluation instead of the reference's two
+  sequential forwards (voicebox_pytorch.py:972-985) — on TPU this doubles MXU
+  utilisation instead of doubling latency;
+* the class is a thin stateful façade over pure functions: `loss_fn` and the
+  cached sampler are pure and jit-compiled; the object stores `params` for the
+  torch-like `wrapper(x)` / `wrapper.sample(...)` usage of the reference
+  README.
+
+Conditioning inputs mirror the reference: exactly one of TextToSemantic /
+DurationPredictor may be attached (voicebox_pytorch.py:1149-1150), and
+precomputed `semantic_token_ids` / `phoneme_ids` pass straight through
+(voicebox_pytorch.py:1182,1337).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import curtail_or_pad
+from ..ops.ode import odeint
+from .voicebox import VoiceBox
+
+__all__ = ["ConditionalFlowMatcherWrapper", "is_probably_audio_from_shape"]
+
+
+def is_probably_audio_from_shape(t) -> bool:
+    """Raw-audio detection by shape: (b, n) or (b, 1, n)
+    (reference voicebox_pytorch.py:1119-1120)."""
+    return t is not None and (t.ndim == 2 or (t.ndim == 3 and t.shape[1] == 1))
+
+
+class ConditionalFlowMatcherWrapper:
+    def __init__(
+        self,
+        voicebox: VoiceBox,
+        text_to_semantic: Optional[Any] = None,
+        duration_predictor: Optional[Any] = None,
+        sigma: float = 0.0,
+        ode_method: str = "midpoint",  # paper's solver choice
+        cond_drop_prob: float = 0.0,
+        params: Optional[Any] = None,
+    ):
+        self.sigma = sigma
+        self.voicebox = voicebox
+        self.condition_on_text = voicebox.condition_on_text
+
+        assert not (not self.condition_on_text and text_to_semantic is not None), (
+            "TextToSemantic should not be passed in if not conditioning on text"
+        )
+        if self.condition_on_text and (
+            text_to_semantic is not None or duration_predictor is not None
+        ):
+            assert (text_to_semantic is not None) ^ (duration_predictor is not None), (
+                "use either TextToSemantic or DurationPredictor, not both"
+            )
+
+        self.text_to_semantic = text_to_semantic
+        self.duration_predictor = duration_predictor
+        self.cond_drop_prob = cond_drop_prob
+        self.ode_method = ode_method
+
+        self.params = params
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    # parameter management
+    # ------------------------------------------------------------------
+
+    @property
+    def audio_enc_dec(self):
+        return self.voicebox.audio_enc_dec
+
+    def init_params(self, rng: jax.Array, seq_len: int = 64, batch: int = 1):
+        """Initialise voicebox params from dummy shapes; stores and returns them."""
+        latent_dim = self.voicebox.latent_dim
+        x = jnp.zeros((batch, seq_len, latent_dim))
+        kwargs = dict(times=jnp.zeros((batch,)), target=x)
+        if self.condition_on_text:
+            kwargs["cond_token_ids"] = jnp.zeros((batch, seq_len), dtype=jnp.int32)
+        variables = self.voicebox.init(
+            {"params": rng, "mask": rng, "cfg": rng}, x, **kwargs
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def load(self, path, strict: bool = True):
+        """Restore voicebox params from a trainer checkpoint; returns the pkg
+        so a trainer can also restore optim state (mirrors
+        voicebox_pytorch.py:1167-1173)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            pkg = serialization.msgpack_restore(f.read())
+        model_state = pkg["model"]
+        if self.params is not None and strict:
+            self.params = serialization.from_state_dict(self.params, model_state)
+        else:
+            self.params = jax.tree.map(jnp.asarray, model_state)
+        return pkg
+
+    # ------------------------------------------------------------------
+    # training loss (pure)
+    # ------------------------------------------------------------------
+
+    def loss_fn(
+        self,
+        params,
+        x1: jax.Array,  # (b, n, d) latents — raw audio handled in __call__
+        rng: jax.Array,
+        *,
+        mask: Optional[jax.Array] = None,
+        cond_token_ids: Optional[jax.Array] = None,
+        cond: Optional[jax.Array] = None,
+        cond_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Pure CFM loss — safe to jit / grad / shard over a mesh."""
+        sigma = self.sigma
+        batch = x1.shape[0]
+
+        noise_rng, time_rng, mask_rng, cfg_rng, drop_rng = jax.random.split(rng, 5)
+
+        x0 = jax.random.normal(noise_rng, x1.shape, dtype=x1.dtype)
+        times = jax.random.uniform(time_rng, (batch,), dtype=jnp.float32)
+        t = times[:, None, None].astype(x1.dtype)
+
+        w = (1 - (1 - sigma) * t) * x0 + t * x1
+        flow = x1 - (1 - sigma) * x0
+
+        return self.voicebox.apply(
+            {"params": params},
+            w,
+            times=times,
+            cond_token_ids=cond_token_ids,
+            self_attn_mask=mask,
+            cond_drop_prob=self.cond_drop_prob,
+            target=flow,
+            cond=cond,
+            cond_mask=cond_mask,
+            train=True,
+            rngs={"mask": mask_rng, "cfg": cfg_rng, "dropout": drop_rng},
+        )
+
+    # ------------------------------------------------------------------
+    # torch-like stateful entry points (reference README usage)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        x1,
+        *,
+        mask=None,
+        semantic_token_ids=None,
+        phoneme_ids=None,
+        cond=None,
+        cond_mask=None,
+        input_sampling_rate: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        params=None,
+    ):
+        """Compute the CFM training loss, encoding raw audio if a codec is
+        attached (mirrors voicebox_pytorch.py:1332-1427)."""
+        params = params if params is not None else self.params
+        assert params is not None, "call init_params() first or pass params="
+        rng = rng if rng is not None else self._next_rng()
+
+        x1 = jnp.asarray(x1)
+        if cond is not None:
+            cond = jnp.asarray(cond)
+
+        input_is_raw_audio = is_probably_audio_from_shape(x1)
+        cond_is_raw_audio = is_probably_audio_from_shape(cond)
+        raw_audio = x1 if input_is_raw_audio else None
+
+        if input_is_raw_audio or cond_is_raw_audio:
+            codec = self.voicebox.audio_enc_dec
+            assert codec is not None, (
+                "audio_enc_dec must be set on VoiceBox to train directly on raw audio"
+            )
+            codec_sr = codec.sampling_rate
+            input_sampling_rate = input_sampling_rate or codec_sr
+            if input_is_raw_audio:
+                x1 = codec.encode(
+                    _resample_if_needed(x1, input_sampling_rate, codec_sr)
+                )
+            if cond_is_raw_audio:
+                cond = codec.encode(
+                    _resample_if_needed(cond, input_sampling_rate, codec_sr)
+                )
+            x1 = jax.lax.stop_gradient(x1)
+            if cond is not None:
+                cond = jax.lax.stop_gradient(cond)
+
+        assert self.condition_on_text or (
+            semantic_token_ids is None and phoneme_ids is None
+        ), "semantic or phoneme ids should not be passed in if not conditioning on text"
+
+        cond_token_ids = None
+        if self.condition_on_text:
+            if self.text_to_semantic is not None or semantic_token_ids is not None:
+                assert phoneme_ids is None
+                if semantic_token_ids is None:
+                    assert raw_audio is not None
+                    wav2vec = self.text_to_semantic.wav2vec
+                    wav2vec_input = _resample_if_needed(
+                        raw_audio, input_sampling_rate, wav2vec.target_sample_hz
+                    )
+                    semantic_token_ids = wav2vec(wav2vec_input)
+                cond_token_ids = semantic_token_ids
+            else:
+                assert phoneme_ids is not None
+                cond_token_ids = phoneme_ids
+
+        return self.loss_fn(
+            params,
+            x1,
+            rng,
+            mask=mask,
+            cond_token_ids=cond_token_ids,
+            cond=cond,
+            cond_mask=cond_mask,
+        )
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _build_sampler(self, steps: int, use_cfg: bool, has_ids: bool, has_attn_mask: bool,
+                       has_cond_mask: bool, method: str):
+        """Build + jit the full ODE solve for one static configuration."""
+        voicebox = self.voicebox
+
+        def vector_field(params, t, x, cond, cond_token_ids, cond_mask,
+                         self_attn_mask, cond_scale):
+            kwargs = dict(
+                cond_mask=cond_mask,
+                self_attn_mask=self_attn_mask,
+                cond_token_ids=cond_token_ids,
+                train=False,
+            )
+            b = x.shape[0]
+            if not use_cfg:
+                drop = jnp.zeros((b,), dtype=bool)
+                return voicebox.apply(
+                    {"params": params}, x, times=t, cond=cond,
+                    cond_drop_prob=0.0, cond_drop_mask=drop, **kwargs,
+                )
+            # CFG: one 2b-batched forward — cond half + null half
+            x2 = jnp.concatenate([x, x], axis=0)
+            cond2 = jnp.concatenate([cond, cond], axis=0)
+            drop2 = jnp.concatenate(
+                [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)], axis=0
+            )
+            kwargs2 = dict(
+                cond_mask=None if cond_mask is None else jnp.concatenate([cond_mask] * 2, 0),
+                self_attn_mask=None
+                if self_attn_mask is None
+                else jnp.concatenate([self_attn_mask] * 2, 0),
+                cond_token_ids=None
+                if cond_token_ids is None
+                else jnp.concatenate([cond_token_ids] * 2, 0),
+                train=False,
+            )
+            out2 = voicebox.apply(
+                {"params": params}, x2, times=jnp.broadcast_to(t, (2 * b,)),
+                cond=cond2, cond_drop_prob=0.0, cond_drop_mask=drop2, **kwargs2,
+            )
+            logits, null_logits = out2[:b], out2[b:]
+            return null_logits + (logits - null_logits) * cond_scale
+
+        @jax.jit
+        def sample_latents(params, y0, cond, cond_token_ids, cond_mask,
+                           self_attn_mask, cond_scale):
+            times = jnp.linspace(0.0, 1.0, steps)
+
+            def fn(t, x):
+                return vector_field(
+                    params, t, x, cond, cond_token_ids, cond_mask,
+                    self_attn_mask, cond_scale,
+                )
+
+            y_final, _ = odeint(fn, y0, times, method=method)
+            return y_final
+
+        return sample_latents
+
+    def sample(
+        self,
+        *,
+        cond=None,
+        texts=None,
+        text_token_ids=None,
+        semantic_token_ids=None,
+        phoneme_ids=None,
+        cond_mask=None,
+        steps: int = 3,
+        cond_scale: float = 1.0,
+        decode_to_audio: bool = True,
+        decode_to_codes: bool = False,
+        max_semantic_token_ids: int = 2048,
+        spec_decode: bool = False,
+        spec_decode_gamma: int = 5,
+        rng: Optional[jax.Array] = None,
+        params=None,
+    ):
+        """Sample audio latents by integrating the learned ODE from noise
+        (mirrors voicebox_pytorch.py:1175-1330)."""
+        params = params if params is not None else self.params
+        assert params is not None, "call init_params() first or pass params="
+        rng = rng if rng is not None else self._next_rng()
+
+        codec = self.voicebox.audio_enc_dec
+
+        if cond is not None:
+            cond = jnp.asarray(cond)
+        if is_probably_audio_from_shape(cond):
+            assert codec is not None
+            cond = codec.encode(cond)
+
+        num_cond_inputs = sum(
+            x is not None
+            for x in (texts, text_token_ids, semantic_token_ids, phoneme_ids)
+        )
+        assert num_cond_inputs <= 1
+
+        self_attn_mask = None
+        cond_token_ids = None
+
+        if self.condition_on_text:
+            if self.text_to_semantic is not None or semantic_token_ids is not None:
+                assert phoneme_ids is None
+                if semantic_token_ids is None:
+                    semantic_token_ids, self_attn_mask = self.text_to_semantic.generate(
+                        source=text_token_ids if text_token_ids is not None else texts,
+                        source_type="text",
+                        target_type="speech",
+                        max_length=max_semantic_token_ids,
+                        return_target_mask=True,
+                        spec_decode=spec_decode,
+                        spec_decode_gamma=spec_decode_gamma,
+                    )
+                cond_token_ids = jnp.asarray(semantic_token_ids)
+            elif self.duration_predictor is not None:
+                durations, aligned_phoneme_ids = (
+                    self.duration_predictor.forward_with_cond_scale(
+                        cond=cond,
+                        texts=texts,
+                        phoneme_ids=phoneme_ids,
+                        return_aligned_phoneme_ids=True,
+                    )
+                )
+                cond_token_ids = jnp.asarray(aligned_phoneme_ids)
+
+            cond_tokens_seq_len = cond_token_ids.shape[-1]
+            cond_target_length = cond_tokens_seq_len
+
+            if cond is not None:
+                if self.text_to_semantic is not None:
+                    # sample-rate algebra between wav2vec and the codec
+                    # (voicebox_pytorch.py:1246-1257)
+                    wav2vec = self.text_to_semantic.wav2vec
+                    cond_target_length = math.ceil(
+                        (cond_tokens_seq_len * wav2vec.target_sample_hz / wav2vec.downsample_factor)
+                        / (codec.sampling_rate / codec.downsample_factor)
+                    )
+                cond = curtail_or_pad(cond, cond_target_length)
+            else:
+                cond = jnp.zeros(
+                    (cond_token_ids.shape[0], cond_target_length, self.voicebox.latent_dim)
+                )
+        else:
+            assert num_cond_inputs == 0, (
+                "no conditioning inputs should be given if not conditioning on text"
+            )
+
+        assert cond is not None, "cond latents (or conditioning tokens) required to sample"
+
+        y0 = jax.random.normal(rng, cond.shape, dtype=cond.dtype)
+
+        sampler = self._build_sampler(
+            int(steps),
+            bool(cond_scale != 1.0),
+            cond_token_ids is not None,
+            self_attn_mask is not None,
+            cond_mask is not None,
+            self.ode_method,
+        )
+        sampled = sampler(
+            params, y0, cond, cond_token_ids, cond_mask, self_attn_mask,
+            jnp.asarray(cond_scale, dtype=jnp.float32),
+        )
+
+        if decode_to_codes and codec is not None:
+            return codec.decode_to_codes(sampled)
+        if not decode_to_audio or codec is None:
+            return sampled
+        return codec.decode(sampled)
+
+
+def _resample_if_needed(audio, sr_in: Optional[int], sr_out: int):
+    if sr_in is None or sr_in == sr_out:
+        return audio
+    from ..ops.stft import resample
+
+    return resample(audio, sr_in, sr_out)

@@ -1,0 +1,154 @@
+"""L2 audio codec boundary: `AudioEncoderDecoder` + `MelVoco` + `EncodecVoco`.
+
+Mirrors the reference codec layer (voicebox_pytorch.py:483-592) with the
+torchaudio/encodec/vocos native kernels replaced by XLA ops
+(`voicebox_tpu.ops.stft`) and flax models (`encodec.py`, `vocos.py`):
+
+* `MelVoco.encode`: Spectrogram(1024/640/160, hann, power 2) -> MelScale
+  (100 mels, 24 kHz, f_max 8 kHz, HTK) -> AmplitudeToDB -> (b, n, 100).
+  Unlike the reference — which rebuilds the torchaudio transform objects on
+  every call (voicebox_pytorch.py:519-534, documented quirk) — the whole chain
+  here is one jitted XLA graph, compiled once per shape.
+* `MelVoco.decode`: DB_to_amplitude(ref=1, power=0.5) -> Vocos decode.
+* `EncodecVoco.encode`: Encodec encoder -> (b, n/320, 128) continuous latents.
+* `EncodecVoco.decode`: RVQ quantize -> vocos codes_to_features -> decode with
+  bandwidth_id — batched, replacing the reference's per-batch-item Python loop
+  (voicebox_pytorch.py:586-592, documented quirk).
+
+Reference bugs fixed, not replicated:
+* `MelVoco.latent_dim` returned `self.num_mels` (AttributeError — the attr is
+  `n_mels`, voicebox_pytorch.py:516);
+* `MelVoco.downsample_factor` raised NotImplementedError
+  (voicebox_pytorch.py:511-512) — here it returns hop_length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stft import amplitude_to_db, db_to_amplitude, mel_spectrogram
+from .encodec import EncodecModel
+from .vocos import Vocos
+
+__all__ = ["AudioEncoderDecoder", "MelVoco", "EncodecVoco"]
+
+
+class AudioEncoderDecoder:
+    """Marker base class (reference voicebox_pytorch.py:483-484)."""
+
+    sampling_rate: int
+    latent_dim: int
+    downsample_factor: int
+
+    def encode(self, audio: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+
+class MelVoco(AudioEncoderDecoder):
+    def __init__(
+        self,
+        *,
+        log: bool = True,
+        n_mels: int = 100,
+        sampling_rate: int = 24000,
+        f_max: float = 8000,
+        n_fft: int = 1024,
+        win_length: int = 640,
+        hop_length: int = 160,
+        pretrained_vocos_path: str = "charactr/vocos-mel-24khz",
+        vocos: Optional[Vocos] = None,
+    ):
+        self.log = log
+        self.n_mels = n_mels
+        self.n_fft = n_fft
+        self.f_max = f_max
+        self.win_length = win_length
+        self.hop_length = hop_length
+        self.sampling_rate = sampling_rate
+        self.vocos = vocos if vocos is not None else Vocos.from_pretrained(
+            pretrained_vocos_path
+        )
+        self._encode = jax.jit(self._encode_impl)
+
+    @property
+    def downsample_factor(self) -> int:
+        return self.hop_length
+
+    @property
+    def latent_dim(self) -> int:
+        return self.n_mels
+
+    def _encode_impl(self, audio: jax.Array) -> jax.Array:
+        if audio.ndim == 3 and audio.shape[1] == 1:
+            audio = audio[:, 0, :]
+        mel = mel_spectrogram(
+            audio,
+            n_mels=self.n_mels,
+            sample_rate=self.sampling_rate,
+            f_max=self.f_max,
+            n_fft=self.n_fft,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+        )  # (b, n_mels, frames)
+        if self.log:
+            mel = amplitude_to_db(mel)
+        return mel.transpose(0, 2, 1)  # (b, frames, n_mels)
+
+    def encode(self, audio: jax.Array) -> jax.Array:
+        return self._encode(jnp.asarray(audio))
+
+    def decode(self, mel: jax.Array) -> jax.Array:
+        mel = mel.transpose(0, 2, 1)  # (b, n_mels, frames)
+        if self.log:
+            mel = db_to_amplitude(mel, ref=1.0, power=0.5)
+        return self.vocos.decode(mel)
+
+
+class EncodecVoco(AudioEncoderDecoder):
+    def __init__(
+        self,
+        *,
+        sampling_rate: int = 24000,
+        pretrained_vocos_path: str = "charactr/vocos-encodec-24khz",
+        bandwidth_id: int = 2,
+        encodec: Optional[EncodecModel] = None,
+        vocos: Optional[Vocos] = None,
+    ):
+        self.sampling_rate = sampling_rate
+        self.encodec = encodec if encodec is not None else EncodecModel()
+        self.vocos = vocos if vocos is not None else Vocos.from_pretrained(
+            pretrained_vocos_path
+        )
+        self.bandwidth_id = bandwidth_id
+
+    @property
+    def downsample_factor(self) -> int:
+        return self.encodec.downsample_factor
+
+    @property
+    def latent_dim(self) -> int:
+        return self.encodec.codebook_dim
+
+    def encode(self, audio: jax.Array) -> jax.Array:
+        encoded_audio, _, _ = self.encodec(jnp.asarray(audio), return_encoded=True)
+        return encoded_audio
+
+    def decode_to_codes(self, latents: jax.Array) -> jax.Array:
+        _, codes, _ = self.encodec.rq(latents)
+        return codes.transpose(0, 2, 1)  # (b, q, n)
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        codes = self.decode_to_codes(latents)
+        # batched decode (the reference loops per batch item,
+        # voicebox_pytorch.py:586-592)
+        features = self.vocos.codes_to_features(codes)
+        audio = self.vocos.decode(
+            features, bandwidth_id=jnp.asarray([self.bandwidth_id])
+        )
+        return audio[:, None, :]  # (b, 1, n) — reference stacks to this shape

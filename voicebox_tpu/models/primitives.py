@@ -1,0 +1,231 @@
+"""L0 neural primitives (flax.linen).
+
+TPU-first re-design of the reference's tensor/NN primitives
+(voicebox_pytorch.py:152-349). Parameter semantics (shapes, init, fp32-forced
+subcomputations) match the reference so the math is numerically comparable;
+the implementation is pure-functional flax with explicit dtypes so XLA can run
+the bulk compute in bfloat16 on the MXU while norms/rotary stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.gateloop import gated_linear_recurrence
+
+__all__ = [
+    "LearnedSinusoidalPosEmb",
+    "rotary_frequencies",
+    "rotate_half",
+    "apply_rotary_pos_emb",
+    "ConvPositionEmbed",
+    "RMSNorm",
+    "AdaptiveRMSNorm",
+    "MultiheadRMSNorm",
+    "GEGLU",
+    "FeedForward",
+    "SimpleGateLoopLayer",
+]
+
+
+def _l2norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize semantics: x / max(||x||_2, eps) over the last axis."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Learned-frequency Fourier features of the scalar ODE time
+    (reference voicebox_pytorch.py:154-167)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:  # t: (b,)
+        assert self.dim % 2 == 0
+        half_dim = self.dim // 2
+        weights = self.param("weights", nn.initializers.normal(1.0), (half_dim,))
+        freqs = t[:, None].astype(jnp.float32) * weights[None, :] * 2 * math.pi
+        return jnp.concatenate([jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+def rotary_frequencies(positions: jax.Array, dim: int, theta: float = 50000.0) -> jax.Array:
+    """RoPE frequency table, fp32 (reference voicebox_pytorch.py:172-191).
+
+    positions: (n,) -> returns (n, dim) = cat(freqs, freqs).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = jnp.einsum("i,j->ij", positions.astype(jnp.float32), inv_freq)
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary_pos_emb(pos: jax.Array, t: jax.Array) -> jax.Array:
+    """fp32-forced rotary application (reference voicebox_pytorch.py:197-199)."""
+    dtype = t.dtype
+    t32 = t.astype(jnp.float32)
+    out = t32 * jnp.cos(pos) + rotate_half(t32) * jnp.sin(pos)
+    return out.astype(dtype)
+
+
+class ConvPositionEmbed(nn.Module):
+    """Depthwise 1-D conv positional module with pre/post masking + GELU
+    (reference voicebox_pytorch.py:203-233). Output is residually added by
+    callers. Uses NLC layout (feature-minor) which is the TPU-friendly layout
+    for `lax.conv_general_dilated`."""
+
+    dim: int
+    kernel_size: int = 31
+    groups: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        assert self.kernel_size % 2 == 1
+        groups = self.groups if self.groups is not None else self.dim
+
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+
+        x = nn.Conv(
+            features=self.dim,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            feature_group_count=groups,
+            dtype=self.dtype,
+            name="dw_conv1d",
+        )(x)
+        out = nn.gelu(x)
+
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+
+        return out
+
+
+class RMSNorm(nn.Module):
+    """gamma * sqrt(d) * l2norm(x) (reference voicebox_pytorch.py:237-247).
+    Normalisation runs in fp32 regardless of compute dtype."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        scale = self.dim**0.5
+        out = _l2norm(x.astype(jnp.float32)) * scale * gamma
+        return out.astype(x.dtype)
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """RMSNorm whose gain/bias are regressed from a condition vector, zero-init
+    so it starts as identity (gamma-bias = 1) — reference
+    voicebox_pytorch.py:249-276."""
+
+    dim: int
+    cond_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, cond: jax.Array) -> jax.Array:
+        scale = self.dim**0.5
+        normed = _l2norm(x.astype(jnp.float32)) * scale
+
+        gamma = nn.Dense(
+            self.dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones,
+            dtype=jnp.float32,
+            name="to_gamma",
+        )(cond.astype(jnp.float32))
+        beta = nn.Dense(
+            self.dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="to_beta",
+        )(cond.astype(jnp.float32))
+
+        out = normed * gamma[:, None, :] + beta[:, None, :]
+        return out.astype(x.dtype)
+
+
+class MultiheadRMSNorm(nn.Module):
+    """Per-head qk-norm: gamma (heads, 1, dim) * sqrt(dim) * l2norm(x)
+    (reference voicebox_pytorch.py:280-287). Input: (b, h, n, d)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.heads, 1, self.dim))
+        scale = self.dim**0.5
+        out = _l2norm(x.astype(jnp.float32)) * gamma * scale
+        return out.astype(x.dtype)
+
+
+class GEGLU(nn.Module):
+    """x, gate = split(x); gelu(gate) * x (reference voicebox_pytorch.py:337-340)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x, gate = jnp.split(x, 2, axis=-1)
+        return nn.gelu(gate) * x
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP, inner dim = int(dim * mult * 2/3) to param-match a non-gated
+    4x MLP (reference voicebox_pytorch.py:342-349)."""
+
+    dim: int
+    mult: float = 4.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dim_inner = int(self.dim * self.mult * 2 / 3)
+        x = nn.Dense(dim_inner * 2, dtype=self.dtype, name="proj_in")(x)
+        x = GEGLU()(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class SimpleGateLoopLayer(nn.Module):
+    """Data-controlled linear recurrence (GateLoop with head dim 1), run as a
+    single `jax.lax.associative_scan` — see `voicebox_tpu.ops.gateloop`.
+
+    Behavioural contract from the reference call site
+    (voicebox_pytorch.py:31,399,465-466): input (b, n, d) -> output (b, n, d),
+    applied residually before attention; `post_ln=True` variant.
+    """
+
+    dim: int
+    post_ln: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        qkva = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype, name="to_qkva")(x)
+        q, k, v, a = jnp.split(qkva, 4, axis=-1)
+
+        # data-controlled forget gate in (0, 1)
+        gate = jax.nn.sigmoid(a)
+        state = gated_linear_recurrence(gate, jax.nn.silu(k) * v, axis=1)
+        out = q * state
+
+        if self.post_ln:
+            out = nn.LayerNorm(dtype=self.dtype, name="post_norm")(out)
+
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

@@ -1,0 +1,193 @@
+"""L1 backbone: bidirectional transformer with register tokens, U-Net skip
+connections, optional adaptive RMSNorm time conditioning, optional GateLoop
+layers (flax.linen).
+
+Structure mirrors the reference `Transformer` (voicebox_pytorch.py:353-479):
+
+* depth must be even; first half of the blocks push activations onto a skip
+  stack, second half pop + `Linear(cat(x, skip * 2^-0.5))` combine.
+* `num_register_tokens` learned registers are prepended with rotary position
+  -10000; the padding mask is extended with True for them.
+* per block: [skip combine] -> [gateloop + residual] -> prenorm attention +
+  residual -> prenorm feedforward + residual; final RMSNorm after removing
+  registers.
+
+The per-block Python loop unrolls under `jit` — with U-Net skips the block
+parameters are non-uniform (combiner only in the second half), so an unrolled
+loop lets XLA schedule each block's matmuls onto the MXU without the shape
+gymnastics a `scan`-over-layers would need. Blocks can be rematerialised
+(`remat=True`) to trade FLOPs for HBM during training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import Attention
+from .primitives import (
+    AdaptiveRMSNorm,
+    FeedForward,
+    RMSNorm,
+    SimpleGateLoopLayer,
+    rotary_frequencies,
+)
+
+__all__ = ["Transformer"]
+
+
+class _Block(nn.Module):
+    """One transformer block (prenorm attn + prenorm FF, both residual)."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    ff_mult: float
+    attn_dropout: float
+    ff_dropout: float
+    use_flash: Optional[bool]
+    adaptive_rmsnorm: bool
+    adaptive_rmsnorm_cond_dim_in: Optional[int]
+    attn_qk_norm: bool
+    use_gateloop: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, mask, rotary_emb, norm_cond, deterministic=True):
+        if self.use_gateloop:
+            x = SimpleGateLoopLayer(dim=self.dim, dtype=self.dtype, name="gateloop")(x) + x
+
+        if self.adaptive_rmsnorm:
+            attn_norm = AdaptiveRMSNorm(
+                dim=self.dim,
+                cond_dim=self.adaptive_rmsnorm_cond_dim_in,
+                name="attn_prenorm",
+            )
+            ff_norm = AdaptiveRMSNorm(
+                dim=self.dim,
+                cond_dim=self.adaptive_rmsnorm_cond_dim_in,
+                name="ff_prenorm",
+            )
+            norm = lambda m, t: m(t, cond=norm_cond)
+        else:
+            attn_norm = RMSNorm(dim=self.dim, name="attn_prenorm")
+            ff_norm = RMSNorm(dim=self.dim, name="ff_prenorm")
+            norm = lambda m, t: m(t)
+
+        attn_out = Attention(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            dropout=self.attn_dropout,
+            use_flash=self.use_flash,
+            qk_norm=self.attn_qk_norm,
+            dtype=self.dtype,
+            name="attn",
+        )(norm(attn_norm, x), mask=mask, rotary_emb=rotary_emb)
+        x = attn_out + x
+
+        ff_out = FeedForward(
+            dim=self.dim,
+            mult=self.ff_mult,
+            dropout=self.ff_dropout,
+            dtype=self.dtype,
+            name="ff",
+        )(norm(ff_norm, x), deterministic=deterministic)
+        return ff_out + x
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: float = 4.0
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    num_register_tokens: int = 0
+    use_flash: Optional[bool] = None
+    adaptive_rmsnorm: bool = False
+    adaptive_rmsnorm_cond_dim_in: Optional[int] = None
+    use_unet_skip_connection: bool = False
+    skip_connect_scale: Optional[float] = None
+    attn_qk_norm: bool = False
+    use_gateloop_layers: bool = False
+    rotary_theta: float = 50000.0
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        adaptive_rmsnorm_cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        assert self.depth % 2 == 0, "depth must be even (U-Net skip symmetry)"
+        batch, seq_len, _ = x.shape
+        num_reg = int(self.num_register_tokens)
+        has_registers = num_reg > 0
+
+        if has_registers:
+            registers = self.param(
+                "register_tokens", nn.initializers.normal(1.0), (num_reg, self.dim)
+            )
+            registers = jnp.broadcast_to(registers[None], (batch, num_reg, self.dim))
+            x = jnp.concatenate([registers.astype(x.dtype), x], axis=1)
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (num_reg, 0)), constant_values=True)
+
+        # rotary table: registers sit at position -10000
+        main_positions = jnp.arange(seq_len, dtype=jnp.int32)
+        if has_registers:
+            register_positions = jnp.full((num_reg,), -10000, dtype=jnp.int32)
+            positions = jnp.concatenate([register_positions, main_positions])
+        else:
+            positions = main_positions
+        rotary_emb = rotary_frequencies(positions, self.dim_head, self.rotary_theta)
+
+        skip_scale = (
+            self.skip_connect_scale if self.skip_connect_scale is not None else 2**-0.5
+        )
+
+        block_cls = _Block
+        if self.remat:
+            block_cls = nn.remat(_Block, static_argnums=(5,))
+
+        skip_connects = []
+        for ind in range(self.depth):
+            layer = ind + 1
+            has_skip = self.use_unet_skip_connection and layer > (self.depth // 2)
+
+            if not has_skip:
+                skip_connects.append(x)
+            else:
+                skip = skip_connects.pop() * skip_scale
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = nn.Dense(self.dim, dtype=self.dtype, name=f"skip_combiner_{ind}")(x)
+
+            x = block_cls(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                ff_mult=self.ff_mult,
+                attn_dropout=self.attn_dropout,
+                ff_dropout=self.ff_dropout,
+                use_flash=self.use_flash,
+                adaptive_rmsnorm=self.adaptive_rmsnorm,
+                adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
+                attn_qk_norm=self.attn_qk_norm,
+                use_gateloop=self.use_gateloop_layers,
+                dtype=self.dtype,
+                name=f"block_{ind}",
+            )(x, mask, rotary_emb, adaptive_rmsnorm_cond, deterministic)
+
+        if has_registers:
+            x = x[:, num_reg:]
+
+        return RMSNorm(dim=self.dim, name="final_norm")(x)

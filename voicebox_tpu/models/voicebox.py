@@ -1,0 +1,226 @@
+"""L3: the VoiceBox denoiser — the CFM vector-field network (flax.linen).
+
+Mirrors the reference `VoiceBox` module (voicebox_pytorch.py:878-1115):
+input fusion `Linear(cat(x_t, cond_emb, masked_cond))`, ConvPositionEmbed
+residual, time-conditioned Transformer (adaptive RMSNorm), linear head to the
+latent dim. Training defaults match the reference (dim 1024, depth 24,
+heads 16, dim_head 64, 16 register tokens, qk_norm, p_drop 0.3,
+frac_lengths_mask (0.7, 1.0)).
+
+Differences forced by the functional/jit design:
+* randomness (span mask, CFG drop) comes from named flax RNG streams
+  ('mask', 'cfg') instead of in-place torch RNG;
+* `cond_drop_mask` can be passed explicitly, which lets the sampler run
+  classifier-free guidance as ONE batched forward over `cat(batch, batch)`
+  instead of the reference's two sequential forwards
+  (voicebox_pytorch.py:972-985);
+* the null condition is the constant zero vector (the reference stores it as a
+  frozen zeros Parameter, voicebox_pytorch.py:940 — never trained, so a
+  constant is semantically identical).
+
+Reference quirk preserved (documented, load-bearing for training parity): when
+no conditioning audio is given, `cond` defaults to `target` — i.e. the flow
+vector field — exactly as `cond = default(cond, target)` at
+voicebox_pytorch.py:1003.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interp import interpolate_1d
+from ..ops.masks import mask_from_frac_lengths, prob_mask_like, reduce_masks_with_and
+from .primitives import ConvPositionEmbed, LearnedSinusoidalPosEmb
+from .transformer import Transformer
+
+__all__ = ["VoiceBox"]
+
+
+class VoiceBox(nn.Module):
+    num_cond_tokens: Optional[int] = None
+    audio_enc_dec: Optional[Any] = None  # AudioEncoderDecoder; owns its own params
+    dim_in: Optional[int] = None
+    dim_cond_emb: int = 1024
+    dim: int = 1024
+    depth: int = 24
+    dim_head: int = 64
+    heads: int = 16
+    ff_mult: float = 4.0
+    ff_dropout: float = 0.0
+    time_hidden_dim: Optional[int] = None
+    conv_pos_embed_kernel_size: int = 31
+    conv_pos_embed_groups: Optional[int] = None
+    attn_dropout: float = 0.0
+    use_flash: Optional[bool] = None
+    attn_qk_norm: bool = True
+    use_gateloop_layers: bool = False
+    num_register_tokens: int = 16
+    p_drop_prob: float = 0.3  # p_drop in the paper
+    frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
+    condition_on_text: bool = True
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def latent_dim(self) -> int:
+        if self.audio_enc_dec is not None:
+            return self.audio_enc_dec.latent_dim
+        return self.dim_in if self.dim_in is not None else self.dim
+
+    @property
+    def null_cond_id(self) -> int:
+        # last embedding row doubles as the CFG null token (voicebox_pytorch.py:932)
+        assert self.num_cond_tokens is not None
+        return self.num_cond_tokens
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (b, n, dim_in) noisy latent w
+        *,
+        times: jax.Array,  # () or (b,)
+        cond_token_ids: Optional[jax.Array] = None,  # (b, n_cond) int
+        self_attn_mask: Optional[jax.Array] = None,  # (b, n) bool
+        cond_drop_prob: float = 0.1,
+        cond_drop_mask: Optional[jax.Array] = None,  # (b,) bool — explicit CFG drop
+        target: Optional[jax.Array] = None,  # (b, n, dim_in) flow target
+        cond: Optional[jax.Array] = None,  # (b, n, dim_in) conditioning latents
+        cond_mask: Optional[jax.Array] = None,  # (b, n) bool — True = to generate
+        train: bool = False,
+    ):
+        dim_in = self.dim_in if self.dim_in is not None else self.dim
+        time_hidden_dim = (
+            self.time_hidden_dim if self.time_hidden_dim is not None else self.dim * 4
+        )
+        dim_cond_emb = self.dim_cond_emb if self.condition_on_text else 0
+
+        if self.condition_on_text:
+            assert self.num_cond_tokens is not None, (
+                "num_cond_tokens must be set when condition_on_text=True"
+            )
+
+        needs_proj = self.audio_enc_dec is not None and self.dim != self.latent_dim
+        if needs_proj:
+            proj_in = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")
+            dim_in = self.dim
+        else:
+            proj_in = lambda t: t
+
+        x = proj_in(x)
+
+        # reference quirk: cond defaults to the flow target (voicebox_pytorch.py:1003)
+        if cond is None:
+            cond = target
+        assert cond is not None, "either cond or target must be provided"
+        cond = proj_in(cond)
+
+        batch, seq_len, cond_dim = cond.shape
+        assert cond_dim == x.shape[-1]
+
+        # auto manage shape of times for the ODE solver (voicebox_pytorch.py:1015-1019)
+        times = jnp.asarray(times)
+        if times.ndim == 0:
+            times = jnp.broadcast_to(times, (batch,))
+        elif times.ndim == 1 and times.shape[0] == 1:
+            times = jnp.broadcast_to(times, (batch,))
+
+        # conditioning span mask: random during training, all-True at inference
+        if cond_mask is None:
+            if train:
+                frac_lengths = jax.random.uniform(
+                    self.make_rng("mask"), (batch,),
+                    minval=self.frac_lengths_mask[0],
+                    maxval=self.frac_lengths_mask[1],
+                )
+                cond_mask = mask_from_frac_lengths(
+                    self.make_rng("mask"), seq_len, frac_lengths
+                )
+            else:
+                cond_mask = jnp.ones((batch, seq_len), dtype=bool)
+
+        # zero the to-be-generated span (paper section 3.2)
+        cond = cond * (~cond_mask[..., None]).astype(cond.dtype)
+
+        # classifier-free guidance drop: null both the cond latents and token ids
+        cond_ids = cond_token_ids
+        if cond_drop_mask is None and cond_drop_prob > 0.0:
+            cond_drop_mask = prob_mask_like(self.make_rng("cfg"), (batch,), cond_drop_prob)
+
+        if cond_drop_mask is not None:
+            cond = jnp.where(cond_drop_mask[:, None, None], 0.0, cond)
+            if cond_ids is not None:
+                cond_ids = jnp.where(cond_drop_mask[:, None], self.null_cond_id, cond_ids)
+
+        # phoneme / semantic conditioning embedding, stretched to the latent length
+        cond_emb = None
+        if self.condition_on_text:
+            assert cond_ids is not None, "cond_token_ids required when condition_on_text"
+            cond_emb = nn.Embed(
+                self.num_cond_tokens + 1, self.dim_cond_emb,
+                dtype=self.dtype, name="to_cond_emb",
+            )(cond_ids)
+
+            if cond_emb.shape[-2] != seq_len:
+                cond_emb = interpolate_1d(cond_emb.transpose(0, 2, 1), seq_len)
+                cond_emb = cond_emb.transpose(0, 2, 1)
+                if self_attn_mask is not None:
+                    self_attn_mask = interpolate_1d(self_attn_mask, seq_len)
+
+        # fuse source signal + text conditioning + audio conditioning
+        to_concat = [t for t in (x, cond_emb, cond) if t is not None]
+        embed = jnp.concatenate(to_concat, axis=-1)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="to_embed")(embed)
+
+        x = ConvPositionEmbed(
+            dim=self.dim,
+            kernel_size=self.conv_pos_embed_kernel_size,
+            groups=self.conv_pos_embed_groups,
+            dtype=self.dtype,
+            name="conv_embed",
+        )(x, mask=self_attn_mask) + x
+
+        # time embedding MLP: fourier -> Dense -> SiLU (voicebox_pytorch.py:916-920)
+        time_emb = LearnedSinusoidalPosEmb(self.dim, name="sinu_pos_emb")(times)
+        time_emb = nn.Dense(time_hidden_dim, dtype=jnp.float32, name="time_mlp")(time_emb)
+        time_emb = nn.silu(time_emb)
+
+        x = Transformer(
+            dim=self.dim,
+            depth=self.depth,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            ff_dropout=self.ff_dropout,
+            attn_dropout=self.attn_dropout,
+            use_flash=self.use_flash,
+            attn_qk_norm=self.attn_qk_norm,
+            num_register_tokens=self.num_register_tokens,
+            adaptive_rmsnorm=True,
+            adaptive_rmsnorm_cond_dim_in=time_hidden_dim,
+            use_gateloop_layers=self.use_gateloop_layers,
+            remat=self.remat,
+            dtype=self.dtype,
+            name="transformer",
+        )(x, mask=self_attn_mask, adaptive_rmsnorm_cond=time_emb,
+          deterministic=not train)
+
+        dim_out = self.latent_dim
+        x = nn.Dense(dim_out, use_bias=False, dtype=self.dtype, name="to_pred")(x)
+
+        if target is None:
+            return x
+
+        # masked-mean MSE against the flow target (voicebox_pytorch.py:1099-1115)
+        loss_mask = reduce_masks_with_and(cond_mask, self_attn_mask)
+        if loss_mask is None:
+            return jnp.mean(jnp.square(x - target))
+
+        loss = jnp.mean(jnp.square(x.astype(jnp.float32) - target.astype(jnp.float32)), axis=-1)
+        loss = jnp.where(loss_mask, loss, 0.0)
+        num = jnp.sum(loss, axis=-1)
+        den = jnp.clip(jnp.sum(loss_mask, axis=-1).astype(loss.dtype), 1e-5, None)
+        return jnp.mean(num / den)

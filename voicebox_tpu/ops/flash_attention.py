@@ -1,0 +1,227 @@
+"""Bidirectional attention for TPU.
+
+Replaces the reference's `Attend` kernel dispatcch (attend.py:38-137), which
+chooses between CUDA SDPA flash kernels and a naive einsum. Here the two paths
+are:
+
+* `flash_attention` — a Pallas TPU kernel: queries are blocked over the grid,
+  keys/values stream through VMEM in blocks with an online-softmax
+  (running max / running sum) accumulator, so the (n x n) score matrix is never
+  materialised in HBM. MXU does the two matmuls per block in fp32 accumulation.
+* `reference_attention` — plain XLA einsum path (used on CPU, for tests, and as
+  the autodiff path; XLA fuses it well for short sequences).
+
+Semantics mirror attend.py:100-137:
+  - `mask` is a key-padding mask `(b, kv_len)`; masked logits get a large
+    negative fill.
+  - `scale` overrides the default `dim_head ** -0.5` (the qk-norm trick at
+    attend.py:76-80 — with qk_norm the caller passes the fixed scale 10).
+
+The Pallas forward is wired with a custom VJP whose backward runs the XLA
+path's gradient (training sequences here are short enough that XLA's fused
+backward is at speed-of-light; the Pallas kernel wins on the sampling path
+where only the forward runs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attend", "flash_attention", "reference_attention"]
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """XLA attention. q,k,v: (b, h, n, d); mask: (b, kv) key-padding mask."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    sim = jnp.einsum("bhid,bhjd->bhij", q32, k32) * scale
+
+    if mask is not None:
+        sim = jnp.where(mask[:, None, None, :], sim, _NEG_INF)
+
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref,  # (1, 1, block_q, d)
+    k_ref,  # (1, 1, kv_len, d)
+    v_ref,  # (1, 1, kv_len, d)
+    mask_ref,  # (1, 1, kv_len) int32  (1 = keep)
+    o_ref,  # (1, 1, block_q, d)
+    *,
+    scale: float,
+    block_k: int,
+    kv_len: int,
+):
+    block_q = q_ref.shape[2]
+    d = q_ref.shape[3]
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        start = i * block_k
+        k_blk = k_ref[0, 0, pl.ds(start, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(start, block_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+
+        keep = mask_ref[0, 0, pl.ds(start, block_k)] != 0  # (block_k,)
+        s = jnp.where(keep[None, :], s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)  # (block_q,)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
+
+    # fully-masked rows produce l == 0; emit zeros rather than NaN
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0, :, :] = (acc / l[:, None]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_forward(q, k, v, mask, scale, block_q, block_k):
+    b, h, n_q, d = q.shape
+    kv_len = k.shape[2]
+
+    block_q = min(block_q, _round_up(n_q, 128))
+    block_k = min(block_k, _round_up(kv_len, 128))
+
+    # pad seq lengths to block multiples; padded keys are masked off
+    n_q_pad = _round_up(n_q, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    if mask is None:
+        mask = jnp.ones((b, kv_len), dtype=bool)
+    mask_i = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, kv_pad - kv_len)))
+    mask_i = mask_i[:, None, :]  # (b, 1, kv) — TPU-legal trailing block dims
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, 0)))
+
+    grid = (b, h, n_q_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, kv_len=kv_pad
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)
+            ),
+            pl.BlockSpec((1, 1, kv_pad, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 1, kv_pad, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 1, kv_pad), lambda ib, ih, iq: (ib, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_q_pad * kv_pad * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * n_q_pad * kv_pad,
+        ),
+    )(qp, kp, vp, mask_i)
+
+    return out[:, :, :n_q, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(
+    q,
+    k,
+    v,
+    mask=None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+):
+    """Pallas online-softmax attention. q,k,v: (b,h,n,d); mask: (b, kv) bool."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_forward(q, k, v, mask, scale, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, mask, scale, block_q, block_k):
+    out = flash_attention(q, k, v, mask, scale, block_q, block_k)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd(scale, block_q, block_k, residuals, g):
+    q, k, v, mask = residuals
+    _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v, mask, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch between the Pallas kernel and the XLA path.
+
+    `use_flash=None` auto-selects: Pallas on TPU backends, XLA elsewhere
+    (the reference does the analogous per-device dispatch at attend.py:56-69).
+    """
+    if use_flash is None:
+        use_flash = jax.default_backend() in ("tpu", "axon")
+    if use_flash:
+        return flash_attention(q, k, v, mask, scale)
+    return reference_attention(q, k, v, mask, scale)

@@ -1,0 +1,213 @@
+"""Host-side data pipeline: audio dataset + bucketed, statically-shaped
+batching.
+
+Re-design of the reference `data.py` (AudioDataset + pad-to-longest /
+curtail-to-shortest collation, data.py:26-91) under the jit constraint the
+PyTorch version didn't have: XLA compiles one program per input shape, so
+"pad to the longest in the batch" would trigger a recompile per batch. Batches
+are therefore padded to *bucketed* lengths (next multiple of
+`bucket_multiple`), bounding the number of compiled shapes, and every batch
+carries an explicit boolean length mask that flows into the loss/attention
+masking.
+
+Audio file I/O is host-side and torch-free: WAV via the stdlib/scipy, FLAC via
+soundfile when available (gated — not in this image).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "AudioDataset",
+    "ArrayDataset",
+    "load_audio",
+    "pad_to_multiple",
+    "collate_with_mask",
+    "get_dataloader",
+    "DataLoader",
+    "random_split",
+]
+
+
+def load_audio(path) -> Tuple[np.ndarray, int]:
+    """Load an audio file -> (float32 mono wave in [-1, 1], sample_rate)."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".wav":
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(str(path))
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            data = data.astype(np.float32)
+        if data.ndim == 2:  # channels-last -> mono (match reference's '1 ... -> ...')
+            data = data.mean(axis=1)
+        return data, sr
+    # non-wav formats need soundfile (not baked into this image — gated)
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise ImportError(
+            f"loading {suffix} requires the 'soundfile' package; "
+            "convert to .wav or install soundfile"
+        ) from e
+    data, sr = sf.read(str(path), dtype="float32")
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    return data, sr
+
+
+class AudioDataset:
+    """Glob audio files under a folder (reference data.py:26-53 globs
+    `**/*.flac`; here the extension is configurable and .wav needs no extra
+    deps)."""
+
+    def __init__(self, folder, audio_extension: str = ".flac", sample_rate: Optional[int] = None):
+        path = Path(folder)
+        assert path.exists(), "folder does not exist"
+        self.audio_extension = audio_extension
+        self.sample_rate = sample_rate
+        files = sorted(path.glob(f"**/*{audio_extension}"))
+        assert len(files) > 0, "no files found"
+        self.files = files
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        wave, sr = load_audio(self.files[idx])
+        if self.sample_rate is not None and sr != self.sample_rate:
+            from ..ops.stft import resample_np
+
+            wave = resample_np(wave, sr, self.sample_rate)
+        return wave
+
+
+class ArrayDataset:
+    """In-memory dataset of numpy arrays (waves `(n,)` or latents `(n, d)`) —
+    the jit-friendly analogue of the README's mock-random-data smoke paths."""
+
+    def __init__(self, arrays: Sequence[np.ndarray]):
+        self.arrays = [np.asarray(a) for a in arrays]
+
+    def __len__(self):
+        return len(self.arrays)
+
+    def __getitem__(self, idx):
+        return self.arrays[idx]
+
+
+def random_split(dataset, valid_frac: float, seed: int = 42):
+    """95/5-style split with a fixed seed (reference trainer.py:126-133)."""
+    n = len(dataset)
+    n_train = int((1 - valid_frac) * n)
+    perm = np.random.RandomState(seed).permutation(n)
+    train_idx, valid_idx = perm[:n_train], perm[n_train:]
+    return _Subset(dataset, train_idx), _Subset(dataset, valid_idx)
+
+
+class _Subset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+
+def pad_to_multiple(length: int, multiple: int) -> int:
+    return int(math.ceil(length / multiple)) * multiple
+
+
+def collate_with_mask(
+    items: List[np.ndarray],
+    bucket_multiple: int = 256,
+    pad_to_longest: bool = True,
+    max_length: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length items into (batch, mask).
+
+    pad_to_longest=True: pad to the bucketed max length (static-shape analogue
+    of data.py:85-87). False: curtail to the shortest (data.py:78-82).
+    """
+    lengths = [it.shape[0] for it in items]
+    if pad_to_longest:
+        target = pad_to_multiple(max(lengths), bucket_multiple)
+        if max_length is not None:
+            target = min(target, max_length)
+    else:
+        target = min(lengths)
+
+    batch = []
+    mask = np.zeros((len(items), target), dtype=bool)
+    for i, it in enumerate(items):
+        n = min(it.shape[0], target)
+        pad_width = [(0, target - n)] + [(0, 0)] * (it.ndim - 1)
+        batch.append(np.pad(it[:n], pad_width))
+        mask[i, :n] = True
+    return np.stack(batch), mask
+
+
+class DataLoader:
+    """Infinite (or epoch-wise) shuffling batch iterator yielding
+    (batch, mask) numpy pairs with bucketed static shapes."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        pad_to_longest: bool = True,
+        bucket_multiple: int = 256,
+        max_length: Optional[int] = None,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.pad_to_longest = pad_to_longest
+        self.bucket_multiple = bucket_multiple
+        self.max_length = max_length
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                # static batch shape: wrap around instead of emitting a ragged batch
+                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+            items = [np.asarray(self.dataset[int(i)]) for i in idx]
+            yield collate_with_mask(
+                items,
+                bucket_multiple=self.bucket_multiple,
+                pad_to_longest=self.pad_to_longest,
+                max_length=self.max_length,
+            )
+
+    def cycle(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield from iter(self)
+
+
+def get_dataloader(ds, *, batch_size: int, pad_to_longest: bool = True, **kwargs) -> DataLoader:
+    """Reference-parity constructor (data.py:89-91)."""
+    return DataLoader(ds, batch_size=batch_size, pad_to_longest=pad_to_longest, **kwargs)

@@ -173,3 +173,33 @@ class TestAttention:
         v = jax.random.normal(ks[2], (1, 2, 12, 8))
         out = attend(q, k, v)
         np.testing.assert_allclose(out, reference_attention(q, k, v), rtol=1e-5)
+
+
+class TestTsit5:
+    def test_fixed_grid_high_order(self):
+        from voicebox_tpu.ops.ode import odeint_tsit5
+
+        fn = lambda t, y: -y
+        yT, _ = odeint_tsit5(fn, jnp.ones(()), jnp.linspace(0, 1, 5))
+        np.testing.assert_allclose(yT, np.exp(-1.0), rtol=1e-6)  # fp32 floor
+
+    def test_adaptive_converges(self):
+        from voicebox_tpu.ops.ode import odeint_tsit5_adaptive
+
+        fn = lambda t, y: -y
+        y, n = odeint_tsit5_adaptive(fn, jnp.ones((4,)), atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(y, np.exp(-1.0), rtol=1e-5)
+        assert 0 < int(n) < 256
+
+    def test_adaptive_stiffer_field_uses_more_steps(self):
+        from voicebox_tpu.ops.ode import odeint_tsit5_adaptive
+
+        _, n_slow = odeint_tsit5_adaptive(lambda t, y: -y, jnp.ones(()))
+        _, n_fast = odeint_tsit5_adaptive(lambda t, y: -25 * y, jnp.ones(()))
+        assert int(n_fast) > int(n_slow)
+
+    def test_adaptive_jits(self):
+        from voicebox_tpu.ops.ode import odeint_tsit5_adaptive
+
+        f = jax.jit(lambda y0: odeint_tsit5_adaptive(lambda t, y: -y, y0)[0])
+        np.testing.assert_allclose(f(jnp.ones(())), np.exp(-1.0), rtol=1e-4)

@@ -90,3 +90,64 @@ class TestTransformer:
         params = mod.init(rng, x)
         out = jax.jit(mod.apply)(params, x)
         assert jnp.isfinite(out).all()
+
+
+class TestScanLayers:
+    def _stack_params(self, params, depth):
+        """Transplant unrolled block params into the scanned (stacked) layout."""
+        import jax.numpy as jnp
+
+        half = depth // 2
+        front = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[params["params"][f"block_{i}"] for i in range(half)],
+        )
+        back = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[params["params"][f"block_{i}"] for i in range(half, depth)],
+        )
+        return {
+            "params": {
+                "layers_front": {"block": front},
+                "layers_back": {"block": back},
+                "final_norm": params["params"]["final_norm"],
+            }
+        }
+
+    def test_scan_matches_unrolled(self, rng):
+        depth = 4
+        unrolled = Transformer(dim=32, depth=depth, dim_head=8, heads=4)
+        scanned = Transformer(dim=32, depth=depth, dim_head=8, heads=4,
+                              scan_layers=True)
+        x = jax.random.normal(rng, (2, 10, 32))
+        params = unrolled.init(rng, x)
+        out_u = unrolled.apply(params, x)
+        out_s = scanned.apply(self._stack_params(params, depth), x)
+        np.testing.assert_allclose(out_u, out_s, rtol=2e-4, atol=2e-5)
+
+    def test_scan_with_unet_and_registers(self, rng):
+        mod = Transformer(dim=32, depth=4, dim_head=8, heads=4, scan_layers=True,
+                          use_unet_skip_connection=True, num_register_tokens=3,
+                          attn_qk_norm=True)
+        x = jax.random.normal(rng, (2, 8, 32))
+        params = mod.init(rng, x)
+        out = jax.jit(mod.apply)(params, x)
+        assert out.shape == x.shape
+        assert jnp.isfinite(out).all()
+
+    def test_scan_adaptive_norm(self, rng):
+        mod = Transformer(dim=32, depth=2, dim_head=8, heads=4, scan_layers=True,
+                          adaptive_rmsnorm=True, adaptive_rmsnorm_cond_dim_in=16)
+        x = jax.random.normal(rng, (1, 6, 32))
+        cond = jnp.ones((1, 16))
+        params = mod.init(rng, x, adaptive_rmsnorm_cond=cond)
+        out = mod.apply(params, x, adaptive_rmsnorm_cond=cond)
+        assert jnp.isfinite(out).all()
+
+    def test_scan_grad(self, rng):
+        mod = Transformer(dim=32, depth=4, dim_head=8, heads=4, scan_layers=True,
+                          use_unet_skip_connection=True, remat=True)
+        x = jax.random.normal(rng, (1, 6, 32))
+        params = mod.init(rng, x)
+        g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
+        assert all(jnp.isfinite(t).all() for t in jax.tree.leaves(g))

@@ -81,6 +81,9 @@ class ConditionalFlowMatcherWrapper:
 
         self.params = params
         self._rng = jax.random.PRNGKey(0)
+        # jit the stateful-entry loss (eager flax apply dispatches op-by-op,
+        # which is pathologically slow on a tunneled TPU backend)
+        self._loss_jit = jax.jit(self.loss_fn)
 
     # ------------------------------------------------------------------
     # parameter management
@@ -97,7 +100,7 @@ class ConditionalFlowMatcherWrapper:
         kwargs = dict(times=jnp.zeros((batch,)), target=x)
         if self.condition_on_text:
             kwargs["cond_token_ids"] = jnp.zeros((batch, seq_len), dtype=jnp.int32)
-        variables = self.voicebox.init(
+        variables = jax.jit(self.voicebox.init, static_argnames=("train",))(
             {"params": rng, "mask": rng, "cfg": rng}, x, **kwargs
         )
         self.params = variables["params"]
@@ -234,7 +237,7 @@ class ConditionalFlowMatcherWrapper:
                 assert phoneme_ids is not None
                 cond_token_ids = phoneme_ids
 
-        return self.loss_fn(
+        return self._loss_jit(
             params,
             x1,
             rng,

@@ -301,12 +301,18 @@ class DurationPredictor:
         )
         self.params = params
         self._rng = jax.random.PRNGKey(0)
+        # jitted apply for eval/inference paths (eager apply is slow on a
+        # tunneled TPU backend)
+        self._apply_jit = jax.jit(
+            self.net.apply,
+            static_argnames=("train", "cond_drop_prob", "return_aligned_phoneme_ids"),
+        )
 
     def init_params(self, rng, seq_len: int = 64, n_phonemes: int = 16, batch: int = 1):
         cond_dim = (
             self.audio_enc_dec.latent_dim if self.audio_enc_dec is not None else self.net.dim
         )
-        variables = self.net.init(
+        variables = jax.jit(self.net.init, static_argnames=("train",))(
             {"params": rng, "mask": rng, "cfg": rng},
             cond=jnp.zeros((batch, seq_len, cond_dim)),
             phoneme_ids=jnp.zeros((batch, n_phonemes), dtype=jnp.int32),
@@ -348,7 +354,7 @@ class DurationPredictor:
         if train:
             return self.loss_fn(params, rng if rng is not None else self._next_rng(),
                                 cond=cond, phoneme_ids=phoneme_ids, **kwargs)
-        return self.net.apply(
+        return self._apply_jit(
             {"params": params}, cond=cond, phoneme_ids=phoneme_ids,
             cond_drop_prob=0.0, train=False, **kwargs,
         )
@@ -376,7 +382,7 @@ class DurationPredictor:
 
         b = cond.shape[0]
         if cond_scale == 1.0:
-            durations = self.net.apply(
+            durations = self._apply_jit(
                 {"params": params}, cond=cond, phoneme_ids=phoneme_ids,
                 cond_drop_prob=0.0,
                 cond_drop_mask=jnp.zeros((b,), dtype=bool), train=False, **kwargs,
@@ -387,7 +393,7 @@ class DurationPredictor:
             drop2 = jnp.concatenate(
                 [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)]
             )
-            out2 = self.net.apply(
+            out2 = self._apply_jit(
                 {"params": params}, cond=cond2, phoneme_ids=ids2,
                 cond_drop_prob=0.0, cond_drop_mask=drop2, train=False, **kwargs,
             )

@@ -228,9 +228,9 @@ class EncodecModel:
             k1, k2, k3 = jax.random.split(rng, 3)
             t = 320 * 4
             params = {
-                "encoder": self.encoder.init(k1, jnp.zeros((1, t)))["params"],
-                "decoder": self.decoder.init(k2, jnp.zeros((1, 4, dim)))["params"],
-                "quantizer": self.quantizer.init(k3, jnp.zeros((1, 4, dim)))["params"],
+                "encoder": jax.jit(self.encoder.init)(k1, jnp.zeros((1, t)))["params"],
+                "decoder": jax.jit(self.decoder.init)(k2, jnp.zeros((1, 4, dim)))["params"],
+                "quantizer": jax.jit(self.quantizer.init)(k3, jnp.zeros((1, 4, dim)))["params"],
             }
         self.params = params
 

@@ -109,12 +109,12 @@ class HubertWithKmeans:
         if params is None:
             rng = jax.random.PRNGKey(seed)
             k1, k2, k3, k4 = jax.random.split(rng, 4)
-            feat_params = self.feature_extractor.init(k1, jnp.zeros((1, 3200)))["params"]
+            feat_params = jax.jit(self.feature_extractor.init)(k1, jnp.zeros((1, 3200)))["params"]
             proj = {
                 "kernel": jax.random.normal(k2, (512, dim)) * 0.02,
                 "bias": jnp.zeros((dim,)),
             }
-            enc_params = self.encoder.init(k3, jnp.zeros((1, 10, dim)))["params"]
+            enc_params = jax.jit(self.encoder.init)(k3, jnp.zeros((1, 10, dim)))["params"]
             centroids = jax.random.normal(k4, (num_clusters, dim))
             params = {
                 "feature_extractor": feat_params,

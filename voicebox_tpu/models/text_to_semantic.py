@@ -256,7 +256,7 @@ class TextToSemantic:
         return self.net.eos_id
 
     def init_params(self, rng, n_text: int = 16, n_sem: int = 16, batch: int = 1):
-        self.params = self.net.init(
+        self.params = jax.jit(self.net.init)(
             rng,
             jnp.zeros((batch, n_text), dtype=jnp.int32),
             jnp.zeros((batch, n_sem), dtype=jnp.int32),

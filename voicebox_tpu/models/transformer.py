@@ -12,11 +12,18 @@ Structure mirrors the reference `Transformer` (voicebox_pytorch.py:353-479):
   residual -> prenorm feedforward + residual; final RMSNorm after removing
   registers.
 
-The per-block Python loop unrolls under `jit` — with U-Net skips the block
-parameters are non-uniform (combiner only in the second half), so an unrolled
-loop lets XLA schedule each block's matmuls onto the MXU without the shape
-gymnastics a `scan`-over-layers would need. Blocks can be rematerialised
-(`remat=True`) to trade FLOPs for HBM during training.
+Two execution modes:
+* `scan_layers=False` (default): per-block Python loop, unrolled under `jit`.
+* `scan_layers=True`: the U-Net structure factors into two UNIFORM halves —
+  the first half pushes activations (a stacked `ys` from `nn.scan`), the
+  second half consumes them in reverse with a skip-combiner in every block —
+  so the whole backbone compiles as two `lax.scan`s. Compile time becomes
+  O(1) in depth (the reference's flagship is depth 24) at identical math.
+  Parameter layout differs (stacked leading depth axis), so the flag is part
+  of the checkpoint format.
+
+Blocks can be rematerialised (`remat=True`) to trade FLOPs for HBM during
+training; composes with both modes.
 """
 
 from __future__ import annotations
@@ -100,6 +107,53 @@ class _Block(nn.Module):
         return ff_out + x
 
 
+class _HalfStack(nn.Module):
+    """One scan step: [skip combine] + block. carry = x; scanned input = skip."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    ff_mult: float
+    attn_dropout: float
+    ff_dropout: float
+    use_flash: Optional[bool]
+    adaptive_rmsnorm: bool
+    adaptive_rmsnorm_cond_dim_in: Optional[int]
+    attn_qk_norm: bool
+    use_gateloop: bool
+    dtype: jnp.dtype
+    has_skip: bool
+    skip_scale: float
+    deterministic: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, x, skip, mask, rotary_emb, norm_cond):
+        if self.has_skip:
+            x = nn.Dense(self.dim, dtype=self.dtype, name="skip_combiner")(
+                jnp.concatenate([x, skip * self.skip_scale], axis=-1)
+            )
+        block_cls = _Block
+        if self.remat:
+            block_cls = nn.remat(_Block, static_argnums=(5,))
+        y = block_cls(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            use_flash=self.use_flash,
+            adaptive_rmsnorm=self.adaptive_rmsnorm,
+            adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
+            attn_qk_norm=self.attn_qk_norm,
+            use_gateloop=self.use_gateloop,
+            dtype=self.dtype,
+            name="block",
+        )(x, mask, rotary_emb, norm_cond, self.deterministic)
+        return y, y
+
+
 class Transformer(nn.Module):
     dim: int
     depth: int
@@ -118,6 +172,7 @@ class Transformer(nn.Module):
     use_gateloop_layers: bool = False
     rotary_theta: float = 50000.0
     remat: bool = False
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,6 +210,14 @@ class Transformer(nn.Module):
             self.skip_connect_scale if self.skip_connect_scale is not None else 2**-0.5
         )
 
+        if self.scan_layers:
+            x = self._scan_forward(
+                x, mask, rotary_emb, adaptive_rmsnorm_cond, deterministic, skip_scale
+            )
+            if has_registers:
+                x = x[:, num_reg:]
+            return RMSNorm(dim=self.dim, name="final_norm")(x)
+
         block_cls = _Block
         if self.remat:
             block_cls = nn.remat(_Block, static_argnums=(5,))
@@ -191,3 +254,46 @@ class Transformer(nn.Module):
             x = x[:, num_reg:]
 
         return RMSNorm(dim=self.dim, name="final_norm")(x)
+
+    def _scan_forward(self, x, mask, rotary_emb, norm_cond, deterministic,
+                      skip_scale):
+        half = self.depth // 2
+        cfg = dict(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            use_flash=self.use_flash,
+            adaptive_rmsnorm=self.adaptive_rmsnorm,
+            adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
+            attn_qk_norm=self.attn_qk_norm,
+            use_gateloop=self.use_gateloop_layers,
+            dtype=self.dtype,
+            skip_scale=skip_scale,
+            deterministic=deterministic,
+            remat=self.remat,
+        )
+        scan_kwargs = dict(
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            out_axes=0,
+        )
+
+        front = nn.scan(
+            _HalfStack,
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            length=half,
+            **scan_kwargs,
+        )(**cfg, has_skip=False, name="layers_front")
+        x, skips = front(x, None, mask, rotary_emb, norm_cond)
+
+        back = nn.scan(
+            _HalfStack,
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            **scan_kwargs,
+        )(**cfg, has_skip=self.use_unet_skip_connection, name="layers_back")
+        # reverse: last pushed skip pops first
+        x, _ = back(x, skips[::-1], mask, rotary_emb, norm_cond)
+        return x

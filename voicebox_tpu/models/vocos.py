@@ -140,7 +140,8 @@ class ISTFTHead(nn.Module):
         mag, phase = jnp.split(h, 2, axis=-1)  # (b, n, n_fft//2 + 1) each
         mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), None, 100.0))
         phase = phase.astype(jnp.float32)
-        spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
+        # real/imag kept separate (no complex ops on the TPU hot path)
+        spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
         spec = spec.transpose(0, 2, 1)  # (b, freq, frames)
         # Vocos heads use 'same'-padded iSTFT: exactly frames * hop samples out
         return istft(
@@ -186,8 +187,10 @@ class Vocos:
             dummy = jnp.zeros((1, 8, input_channels))
             bw = jnp.zeros((1,), jnp.int32) if num_bandwidths > 0 else None
             params = {
-                "backbone": self.backbone.init(k1, dummy, bw)["params"],
-                "head": self.head.init(k2, jnp.zeros((1, 8, dim)))["params"],
+                # jit the inits: eager op-by-op init is pathologically slow on a
+                # tunneled TPU backend
+                "backbone": jax.jit(self.backbone.init)(k1, dummy, bw)["params"],
+                "head": jax.jit(self.head.init)(k2, jnp.zeros((1, 8, dim)))["params"],
             }
             if num_bandwidths > 0:
                 # codes -> features embedding table (sum over quantizers),
@@ -197,6 +200,7 @@ class Vocos:
                 ) * 0.02
         self.params = params
         self._decode = jax.jit(self._decode_impl)
+        self._codes_to_features = jax.jit(self._codes_to_features_impl)
 
     @classmethod
     def from_pretrained(cls, path_or_name: str, **kwargs):
@@ -235,7 +239,10 @@ class Vocos:
         assert self.num_bandwidths > 0, "codes_to_features is an encodec-variant op"
         if codes.ndim == 2:
             codes = codes[None]
-        codebook = self.params["codebook"]  # (q, size, c)
+        return self._codes_to_features(self.params, codes)
+
+    def _codes_to_features_impl(self, params, codes: jax.Array) -> jax.Array:
+        codebook = params["codebook"]  # (q, size, c)
         q = codes.shape[1]
         feats = jnp.take_along_axis(
             codebook[None, :q, :, :],  # (1, q, size, c)

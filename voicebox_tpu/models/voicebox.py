@@ -63,6 +63,7 @@ class VoiceBox(nn.Module):
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
     condition_on_text: bool = True
     remat: bool = False
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -203,6 +204,7 @@ class VoiceBox(nn.Module):
             adaptive_rmsnorm_cond_dim_in=time_hidden_dim,
             use_gateloop_layers=self.use_gateloop_layers,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
             name="transformer",
         )(x, mask=self_attn_mask, adaptive_rmsnorm_cond=time_emb,

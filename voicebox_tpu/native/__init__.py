@@ -1,0 +1,138 @@
+"""ctypes bindings for the native audio loader (`wavio.cpp`).
+
+The shared library is built on first import with g++ (cached next to the
+source); every entry point degrades gracefully to the pure-Python path when
+the toolchain or build is unavailable, so the framework never hard-depends on
+the native component.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["native_available", "wav_read", "wav_read_batch", "wav_info"]
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "wavio.cpp"
+_LIB_PATH = _HERE / "libvbwavio.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC), "-o", str(_LIB_PATH), "-lpthread",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.vb_wav_info.restype = ctypes.c_longlong
+        lib.vb_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+        lib.vb_wav_read.restype = ctypes.c_longlong
+        lib.vb_wav_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vb_wav_read_batch.restype = ctypes.c_int
+        lib.vb_wav_read_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def wav_info(path) -> Optional[Tuple[int, int]]:
+    """-> (n_samples, sample_rate) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sr = ctypes.c_int(0)
+    n = lib.vb_wav_info(str(path).encode(), ctypes.byref(sr))
+    if n < 0:
+        return None
+    return int(n), int(sr.value)
+
+
+def wav_read(path) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode one wav -> (float32 mono wave, sample_rate) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    info = wav_info(path)
+    if info is None:
+        return None
+    n, _ = info
+    buf = np.empty(n, dtype=np.float32)
+    sr = ctypes.c_int(0)
+    got = lib.vb_wav_read(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ctypes.byref(sr),
+    )
+    if got < 0:
+        return None
+    return buf[:got], int(sr.value)
+
+
+def wav_read_batch(
+    paths: List, max_samples: int, num_threads: int = 0
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded batch decode -> (batch (n, max_samples) float32 zero-padded,
+    lengths (n,) int64 with -1 for failures), or None if native is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    joined = b"\0".join(str(p).encode() for p in paths) + b"\0"
+    out = np.zeros((n, max_samples), dtype=np.float32)
+    lengths = np.zeros(n, dtype=np.int64)
+    lib.vb_wav_read_batch(
+        joined,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        num_threads,
+    )
+    return out, lengths

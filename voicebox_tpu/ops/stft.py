@@ -13,6 +13,12 @@ Numerical contracts match torchaudio defaults as exercised by the reference:
 Spectrogram(power=2, center=True, reflect pad, periodic hann), MelScale (HTK
 mel scale, no norm), AmplitudeToDB (stype='power', ref=1, amin=1e-10,
 top_db=None), DB_to_amplitude(ref=1, power=0.5).
+
+The (i)DFT itself is expressed as two real matmuls against precomputed
+cos/sin matrices rather than an FFT op: for n_fft ~ 1024 a
+(frames x n_fft) @ (n_fft x n_freq) matmul runs on the MXU at full tilt,
+whereas TPU FFT lowering is either slow or (on this backend) unimplemented.
+Reflect padding is built from slice+reverse+concat for the same reason.
 """
 
 from __future__ import annotations
@@ -44,6 +50,55 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
     # periodic hann (torch.hann_window default)
     n = jnp.arange(win_length, dtype=dtype)
     return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * n / win_length)
+
+
+@functools.lru_cache(maxsize=8)
+def _rdft_matrices(n_fft: int):
+    """Real-DFT basis as numpy: frames @ C -> real part, frames @ S -> imag.
+    rfft[k] = sum_n x_n e^{-2pi i k n / N}."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _irdft_matrices(n_fft: int):
+    """Inverse real-DFT basis: x = re @ Cr + im @ Ci, shape (n_freq, n_fft)."""
+    n_freq = n_fft // 2 + 1
+    k = np.arange(n_freq)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((n_freq, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    cr = (w * np.cos(ang) / n_fft).astype(np.float32)
+    ci = (-w * np.sin(ang) / n_fft).astype(np.float32)
+    return cr, ci
+
+
+def rdft(frames: jax.Array, n_fft: int):
+    """(..., n_fft) real frames -> (real, imag) each (..., n_fft//2+1),
+    via MXU matmuls."""
+    c, s = _rdft_matrices(n_fft)
+    f32 = frames.astype(jnp.float32)
+    return f32 @ jnp.asarray(c), f32 @ jnp.asarray(s)
+
+
+def irdft(re: jax.Array, im: jax.Array, n_fft: int) -> jax.Array:
+    """(..., n_fft//2+1) spectrum -> (..., n_fft) real frames."""
+    cr, ci = _irdft_matrices(n_fft)
+    return re.astype(jnp.float32) @ jnp.asarray(cr) + im.astype(jnp.float32) @ jnp.asarray(ci)
+
+
+def _reflect_pad_1d(x: jax.Array, pad: int) -> jax.Array:
+    """Reflect-pad the last axis (no edge duplication, = np.pad 'reflect').
+    Built from slice+reverse+concat — jnp.pad(mode='reflect') has no lowering
+    on this TPU backend."""
+    left = jnp.flip(x[..., 1 : pad + 1], axis=-1)
+    right = jnp.flip(x[..., -pad - 1 : -1], axis=-1)
+    return jnp.concatenate([left, x, right], axis=-1)
 
 
 def frame_signal(audio: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
@@ -79,11 +134,15 @@ def stft(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
 
     if center:
-        audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)), mode=pad_mode)
+        if pad_mode == "reflect":
+            audio = _reflect_pad_1d(audio, n_fft // 2)
+        else:
+            audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)))
 
     frames = frame_signal(audio, n_fft, hop_length)  # (b, T, n_fft)
     frames = frames * window[None, None, :]
-    spec = jnp.fft.rfft(frames, axis=-1)  # (b, T, n_fft//2+1)
+    re, im = rdft(frames, n_fft)  # (b, T, n_fft//2+1) each
+    spec = jax.lax.complex(re, im)
     return spec.transpose(0, 2, 1)
 
 
@@ -95,12 +154,27 @@ def spectrogram(
     power: float = 2.0,
     center: bool = True,
 ) -> jax.Array:
-    """torchaudio T.Spectrogram semantics: |STFT|^power, (b, freq, frames)."""
-    spec = stft(audio, n_fft, win_length, hop_length, center=center)
-    mag = jnp.abs(spec)
-    if power == 1.0:
-        return mag
-    return mag**power
+    """torchaudio T.Spectrogram semantics: |STFT|^power, (b, freq, frames).
+
+    Stays entirely in real arithmetic (re^2 + im^2) — no complex ops."""
+    win_length = win_length or n_fft
+    hop_length = hop_length or n_fft // 4
+    window = hann_window(win_length, dtype=jnp.float32)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        audio = _reflect_pad_1d(audio, n_fft // 2)
+    frames = frame_signal(audio, n_fft, hop_length) * window[None, None, :]
+    re, im = rdft(frames, n_fft)
+    power_spec = re * re + im * im  # (b, T, freq)
+    if power == 2.0:
+        out = power_spec
+    elif power == 1.0:
+        out = jnp.sqrt(power_spec)
+    else:
+        out = power_spec ** (power / 2.0)
+    return out.transpose(0, 2, 1)
 
 
 def _hz_to_mel_htk(f):
@@ -204,7 +278,8 @@ def istft(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
 
     b, _, n_frames = spec.shape
-    frames = jnp.fft.irfft(spec.transpose(0, 2, 1), n=n_fft, axis=-1)  # (b, T, n_fft)
+    sp = spec.transpose(0, 2, 1)
+    frames = irdft(jnp.real(sp), jnp.imag(sp), n_fft)  # (b, T, n_fft)
     frames = frames * window[None, None, :]
 
     out_len = n_fft + hop_length * (n_frames - 1)

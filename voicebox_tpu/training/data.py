@@ -35,10 +35,19 @@ __all__ = [
 
 
 def load_audio(path) -> Tuple[np.ndarray, int]:
-    """Load an audio file -> (float32 mono wave in [-1, 1], sample_rate)."""
+    """Load an audio file -> (float32 mono wave in [-1, 1], sample_rate).
+
+    .wav goes through the native C++ decoder (`voicebox_tpu.native`) when the
+    toolchain is available, else scipy."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":
+        from ..native import wav_read
+
+        native = wav_read(path)
+        if native is not None:
+            return native
+
         from scipy.io import wavfile
 
         sr, data = wavfile.read(str(path))

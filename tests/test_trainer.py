@@ -191,3 +191,38 @@ class TestGraftEntry:
         spec.loader.exec_module(mod)
         fn, args = mod.entry()
         jax.eval_shape(fn, *args)  # abstract compile check (fast)
+
+
+class TestConditionalTraining:
+    def test_semantic_conditioned_raw_audio_training(self, tmp_path, rng):
+        """Trainer derives HuBERT ids from raw waves and threads them through
+        the jitted step (reference voicebox_pytorch.py:1384-1389 analogue)."""
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.hubert import HubertWithKmeans
+        from voicebox_tpu.models.text_to_semantic import TextToSemantic
+        from voicebox_tpu.models.vocos import Vocos
+
+        codec = MelVoco(vocos=Vocos(input_channels=100, dim=32,
+                                    intermediate_dim=64, num_layers=2))
+        w2v = HubertWithKmeans(num_clusters=20, dim=32, depth=2, heads=4)
+        tts = TextToSemantic(dim=32, source_depth=2, target_depth=2, heads=4,
+                             dim_head=8, wav2vec=w2v)
+        tts.init_params(jax.random.PRNGKey(0))
+        vb = VoiceBox(audio_enc_dec=codec, dim=64, depth=2, dim_head=16,
+                      heads=4, dim_cond_emb=32, num_register_tokens=2,
+                      condition_on_text=True, num_cond_tokens=20)
+        cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts,
+                                            cond_drop_prob=0.2)
+        cfm.init_params(rng, seq_len=31, batch=2)
+
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(4800).astype(np.float32) * 0.1
+             for i in range(8)]
+        )
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=2, dataset=ds, num_train_steps=2, valid_frac=0.25,
+            results_folder=str(tmp_path / "res"), bucket_multiple=4800,
+            save_model_every=100, save_results_every=100, use_mesh=False,
+        )
+        tr.train()
+        assert tr.steps == 2

@@ -186,7 +186,9 @@ class VoiceBoxTrainer:
         self._rng = jax.random.PRNGKey(seed)
         self._train_step = self._build_train_step()
         self._valid_loss = jax.jit(
-            lambda params, x, mask, rng: self.cfm_wrapper.loss_fn(params, x, rng, mask=mask)
+            lambda params, x, mask, ids, rng: self.cfm_wrapper.loss_fn(
+                params, x, rng, mask=mask, cond_token_ids=ids
+            )
         )
 
         self.hps = {
@@ -221,20 +223,23 @@ class VoiceBoxTrainer:
         opt = self.optimizer
         accum = self.grad_accum_every
 
-        def train_step(params, opt_state, batch, mask, rng):
-            # batch: (accum, micro_bs, n, d); mask: (accum, micro_bs, n)
+        def train_step(params, opt_state, batch, mask, cond_ids, rng):
+            # batch: (accum, micro_bs, n, d); mask: (accum, micro_bs, n);
+            # cond_ids: (accum, micro_bs, n_cond) int or None
             keys = jax.random.split(rng, accum)
 
             def micro_step(carry, inp):
                 grads_acc, loss_acc = carry
-                x, m, key = inp
-                loss, grads = jax.value_and_grad(loss_fn)(params, x, key, mask=m)
+                x, m, ids, key = inp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, x, key, mask=m, cond_token_ids=ids
+                )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, params)
             (grads, loss_sum), _ = jax.lax.scan(
-                micro_step, (zero_grads, 0.0), (batch, mask, keys)
+                micro_step, (zero_grads, 0.0), (batch, mask, cond_ids, keys)
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             loss = loss_sum / accum
@@ -246,18 +251,30 @@ class VoiceBoxTrainer:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     def _prepare_batch(self, wave: np.ndarray, mask: np.ndarray):
-        """Encode raw audio through the frozen codec if needed and reshape to
+        """Encode raw audio through the frozen codec (and, for semantic
+        conditioning, derive HuBERT token ids) and reshape to
         (accum, micro_bs, ...). Encoding happens outside the train step under
         stop_gradient — the analogue of the reference's no_grad eval encode
-        (voicebox_pytorch.py:1356-1371)."""
+        (voicebox_pytorch.py:1356-1371); the wav2vec semantic-id derivation
+        mirrors voicebox_pytorch.py:1384-1389."""
         x = jnp.asarray(wave)
         codec = self.cfm_wrapper.voicebox.audio_enc_dec
+        cond_ids = None
         if x.ndim == 2 and codec is not None:  # raw audio (b, n_samples)
+            raw = x
             lengths = mask.sum(axis=-1)
             x = jax.lax.stop_gradient(codec.encode(x))
             ds_factor = mask.shape[-1] / x.shape[1]
             frame_lengths = np.ceil(lengths / ds_factor).astype(np.int64)
             mask = np.arange(x.shape[1])[None, :] < frame_lengths[:, None]
+
+            t2s = self.cfm_wrapper.text_to_semantic
+            if self.cfm_wrapper.condition_on_text and t2s is not None:
+                from ..ops.stft import resample
+
+                wav2vec = t2s.wav2vec
+                w_in = resample(raw, codec.sampling_rate, wav2vec.target_sample_hz)
+                cond_ids = jax.lax.stop_gradient(wav2vec(w_in))
         elif x.ndim == 2:
             raise ValueError(
                 "2-D batches look like raw audio but no audio_enc_dec is attached"
@@ -268,11 +285,15 @@ class VoiceBoxTrainer:
         micro = b // accum
         x = x.reshape(accum, micro, *x.shape[1:])
         mask = jnp.asarray(mask).reshape(accum, micro, -1)
+        if cond_ids is not None:
+            cond_ids = cond_ids.reshape(accum, micro, -1)
 
         if self._batch_sharding is not None:
             x = jax.device_put(x, self._batch_sharding)
             mask = jax.device_put(mask, self._batch_sharding)
-        return x, mask
+            if cond_ids is not None:
+                cond_ids = jax.device_put(cond_ids, self._batch_sharding)
+        return x, mask, cond_ids
 
     # ------------------------------------------------------------------
     # checkpointing (flax msgpack; keys mirror the reference pkg)
@@ -318,10 +339,10 @@ class VoiceBoxTrainer:
                 self.print(f"{steps}: profiler trace written to {self.profile_dir}")
 
         wave, mask = next(self.dl_iter)
-        x, m = self._prepare_batch(wave, mask)
+        x, m, cond_ids = self._prepare_batch(wave, mask)
 
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, x, m, self._next_rng()
+            self.params, self.opt_state, x, m, cond_ids, self._next_rng()
         )
         loss = float(loss)
         logs = {"loss": loss}
@@ -332,9 +353,9 @@ class VoiceBoxTrainer:
 
         if steps % self.save_results_every == 0:
             wave, mask = next(self.valid_dl_iter)
-            x, m = self._prepare_batch_flat(wave, mask)
+            x, m, v_ids = self._prepare_batch_flat(wave, mask)
             valid_loss = float(
-                self._valid_loss(self.params, x, m, jax.random.PRNGKey(steps))
+                self._valid_loss(self.params, x, m, v_ids, jax.random.PRNGKey(steps))
             )
             self.print(f"{steps}: valid loss {valid_loss:0.3f}")
             self._log_metrics({"valid_loss": valid_loss})
@@ -348,9 +369,10 @@ class VoiceBoxTrainer:
         return logs
 
     def _prepare_batch_flat(self, wave, mask):
-        x, m = self._prepare_batch(wave, mask)
+        x, m, ids = self._prepare_batch(wave, mask)
         # undo the accum leading axis for single-forward validation
-        return x.reshape(-1, *x.shape[2:])[: self.batch_size], m.reshape(-1, m.shape[-1])[: self.batch_size]
+        flat = lambda t: None if t is None else t.reshape(-1, *t.shape[2:])[: self.batch_size]
+        return flat(x), flat(m), flat(ids)
 
     def train(self, log_fn=noop):
         while self.steps < self.num_train_steps:

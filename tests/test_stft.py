@@ -146,3 +146,27 @@ class TestResample:
         y = resample(jnp.asarray(x), 24000, 16000)
         y_t = torchaudio.functional.resample(torch.from_numpy(x), 24000, 16000)
         np.testing.assert_allclose(np.asarray(y), y_t.numpy(), atol=1e-4)
+
+
+class TestMetrics:
+    def test_mel_spectral_distance_zero_for_identical(self):
+        from voicebox_tpu.utils.metrics import mel_spectral_distance
+
+        x = _tone(dur=0.1)
+        d = mel_spectral_distance(x, x)
+        np.testing.assert_allclose(d, 0.0, atol=1e-4)
+
+    def test_distance_increases_with_distortion(self):
+        from voicebox_tpu.utils.metrics import mel_spectral_distance
+
+        x = _tone(dur=0.1)
+        small = mel_spectral_distance(x, x + 0.001 * np.random.RandomState(0).randn(*x.shape).astype(np.float32))
+        large = mel_spectral_distance(x, x + 0.1 * np.random.RandomState(0).randn(*x.shape).astype(np.float32))
+        assert 0 < float(small) < float(large)
+
+    def test_length_mismatch_truncates(self):
+        from voicebox_tpu.utils.metrics import mel_spectral_distance
+
+        x = _tone(dur=0.1)
+        d = mel_spectral_distance(x, x[:, :-500])
+        assert np.isfinite(float(d))

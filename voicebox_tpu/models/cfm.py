@@ -59,7 +59,22 @@ class ConditionalFlowMatcherWrapper:
         ode_method: str = "midpoint",  # paper's solver choice
         cond_drop_prob: float = 0.0,
         params: Optional[Any] = None,
+        # reference-API aliases (voicebox_pytorch.py:1129-1161): torchdiffeq's
+        # method name maps directly; use_torchode selects the Tsit5 tableau
+        # (fixed-grid — the evaluation grid is fixed in the reference too);
+        # atol/rtol are accepted for signature parity and apply to the
+        # adaptive tsit5 path in ops.ode
+        ode_atol: float = 1e-5,
+        ode_rtol: float = 1e-5,
+        use_torchode: bool = False,
+        torchdiffeq_ode_method: Optional[str] = None,
     ):
+        if torchdiffeq_ode_method is not None:
+            ode_method = torchdiffeq_ode_method
+        if use_torchode:
+            ode_method = "tsit5"
+        self.ode_atol = ode_atol
+        self.ode_rtol = ode_rtol
         self.sigma = sigma
         self.voicebox = voicebox
         self.condition_on_text = voicebox.condition_on_text

@@ -107,8 +107,25 @@ class TestTextToSemantic:
                 break
             assert cached[i] == tok, f"step {i}: cached {cached[i]} != naive {tok}"
 
-    def test_spec_decode_flag_accepted(self, tts):
-        ids = tts.generate(["x"], max_length=4, spec_decode=True)
+    def test_spec_decode_matches_standard_greedy(self, tts):
+        """Speculative decoding must produce exactly the plain greedy output."""
+        texts = ["the quick brown fox", "hi"]
+        std, std_mask = tts.generate(texts, max_length=10, return_target_mask=True)
+        spec, spec_mask = tts.generate(texts, max_length=10, spec_decode=True,
+                                       spec_decode_gamma=3,
+                                       return_target_mask=True)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(spec))
+        np.testing.assert_array_equal(np.asarray(std_mask), np.asarray(spec_mask))
+
+    def test_spec_decode_gamma_one(self, tts):
+        std = tts.generate(["abc"], max_length=6)
+        spec = tts.generate(["abc"], max_length=6, spec_decode=True,
+                            spec_decode_gamma=1)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(spec))
+
+    def test_spec_decode_temperature_falls_back(self, tts):
+        ids = tts.generate(["x"], max_length=4, spec_decode=True,
+                           temperature=0.8, rng=jax.random.PRNGKey(0))
         assert ids.shape == (1, 4)
 
 

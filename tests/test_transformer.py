@@ -151,3 +151,17 @@ class TestScanLayers:
         params = mod.init(rng, x)
         g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
         assert all(jnp.isfinite(t).all() for t in jax.tree.leaves(g))
+
+
+class TestAttnDropout:
+    def test_dropout_stochastic_in_training(self, rng):
+        mod = _make(attn_dropout=0.5)
+        x = jax.random.normal(rng, (1, 8, 32))
+        params = mod.init(rng, x)
+        a = mod.apply(params, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+        b = mod.apply(params, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+        c = mod.apply(params, x)  # deterministic default
+        assert not np.allclose(a, b)
+        np.testing.assert_allclose(c, mod.apply(params, x), rtol=1e-6)

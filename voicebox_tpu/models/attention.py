@@ -39,6 +39,7 @@ class Attention(nn.Module):
         x: jax.Array,
         mask: Optional[jax.Array] = None,
         rotary_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
@@ -60,7 +61,17 @@ class Attention(nn.Module):
             k = apply_rotary_pos_emb(rotary_emb, k)
 
         scale = self.qk_norm_scale if self.qk_norm else None
-        out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash)
+        if self.dropout > 0.0 and not deterministic:
+            # attention-weight dropout forces the XLA path (training only;
+            # all reference configs default attn_dropout=0)
+            from ..ops.flash_attention import reference_attention
+
+            out = reference_attention(
+                q, k, v, mask=mask, scale=scale, dropout=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
+            )
+        else:
+            out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

@@ -68,16 +68,24 @@ class _CachedSelfAttention(nn.Module):
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
             new_cache = None
         else:
-            # single-step decode: n == 1, rotary at `position`, append to cache
+            # chunked decode: n >= 1 tokens starting at `position` (n == 1 is
+            # plain AR decode; n == gamma+1 is the speculative verify chunk).
+            # Stale cache entries beyond the live position are masked out, so
+            # rejected speculative writes need no rollback.
             k_buf, v_buf = cache  # (b, h, max_len, d)
-            pos = rotary_frequencies(position[None], d)  # (1, d)
+            positions = position + jnp.arange(n)
+            pos = rotary_frequencies(positions, d)  # (n, d)
             q = apply_rotary_pos_emb(pos, q)
             k = apply_rotary_pos_emb(pos, k)
             k_buf = jax.lax.dynamic_update_slice(k_buf, k, (0, 0, position, 0))
             v_buf = jax.lax.dynamic_update_slice(v_buf, v, (0, 0, position, 0))
             max_len = k_buf.shape[2]
             sim = jnp.einsum("bhid,bhjd->bhij", q, k_buf) * (d**-0.5)
-            valid = jnp.arange(max_len)[None, None, None, :] <= position
+            # row i (query at position+i) sees keys j <= position+i
+            valid = (
+                jnp.arange(max_len)[None, None, None, :]
+                <= positions[None, None, :, None]
+            )
             sim = jnp.where(valid, sim, -1e9)
             attn = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v_buf)
@@ -209,6 +217,23 @@ class _Seq2Seq(nn.Module):
         logits = self.to_logits(self.final_norm(x))[:, 0]
         return logits, tuple(new_caches)
 
+    def decode_chunk(self, tokens, position, caches, context, text_mask,
+                     num_layers: Optional[int] = None):
+        """Chunked decode: tokens (b, n) at positions [position, position+n)
+        -> logits (b, n, vocab). `num_layers` truncates the decoder stack —
+        the self-speculative early-exit draft model (it reuses the full
+        model's norm/logits head)."""
+        x = self.sem_embed(tokens)
+        blocks = self.blocks if num_layers is None else self.blocks[:num_layers]
+        cache_out = []
+        for block, cache in zip(blocks, caches):
+            x, new_cache = block(
+                x, context, text_mask, position=position, cache=cache
+            )
+            cache_out.append(new_cache)
+        logits = self.to_logits(self.final_norm(x))
+        return logits, tuple(cache_out)
+
 
 class TextToSemantic:
     """Stateful façade mirroring the spear-tts usage surface."""
@@ -337,6 +362,118 @@ class TextToSemantic:
 
         return run
 
+    def _build_generate_spec(self, batch: int, max_length: int, gamma: int,
+                             draft_layers: int):
+        """Self-speculative greedy decoding under jit.
+
+        Draft = the first `draft_layers` decoder blocks (early-exit, reusing
+        the full model's head — the spear-tts speculative recipe); verify =
+        one (gamma+1)-token chunk forward of the full model. The accepted
+        prefix length is the batch-min agreement count, so the whole batch
+        advances uniformly (SPMD-friendly); every emitted token equals the
+        plain greedy output exactly. Rejected cache entries need no rollback:
+        positions beyond the live pointer are masked in attention and
+        overwritten on the next iteration."""
+        net = self.net
+        h, d = net.heads, net.dim_head
+        buf_len = max_length + gamma + 1
+
+        @jax.jit
+        def run(params, text_ids):
+            context, text_mask = net.apply(
+                {"params": params}, text_ids, method=net.encode_text
+            )
+
+            def make_caches(n_layers):
+                return tuple(
+                    (
+                        jnp.zeros((batch, h, buf_len, d)),
+                        jnp.zeros((batch, h, buf_len, d)),
+                    )
+                    for _ in range(n_layers)
+                )
+
+            full_caches = make_caches(net.dec_depth)
+            draft_caches = make_caches(draft_layers)
+            buf = jnp.full((batch, buf_len), net.eos_id, dtype=jnp.int32)
+
+            def cond(state):
+                p, _, _, done, _, _ = state
+                return (p < max_length) & ~jnp.all(done)
+
+            def body(state):
+                p, last_token, buf, done, full_caches, draft_caches = state
+
+                # --- draft: gamma early-exit AR steps ---
+                def draft_step(carry, j):
+                    tok, caches = carry
+                    logits, caches = net.apply(
+                        {"params": params}, tok[:, None], p + j, caches,
+                        context, text_mask, num_layers=draft_layers,
+                        method=net.decode_chunk,
+                    )
+                    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                    return (nxt, caches), nxt
+
+                (_, draft_caches), proposals = jax.lax.scan(
+                    draft_step, (last_token, draft_caches), jnp.arange(gamma)
+                )
+                proposals = proposals.T  # (b, gamma)
+
+                # --- verify: one full-model chunk over [last, proposals] ---
+                chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
+                logits, full_caches = net.apply(
+                    {"params": params}, chunk, p, full_caches, context,
+                    text_mask, method=net.decode_chunk,
+                )
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (b, gamma+1)
+
+                # longest agreed prefix, batch-min for uniform advance
+                agree = g[:, :gamma] == proposals  # (b, gamma)
+                prefix = jnp.cumprod(agree.astype(jnp.int32), axis=1)
+                k = jnp.min(jnp.sum(prefix, axis=1))  # scalar in [0, gamma]
+
+                # emit [d_1..d_k, g_{k+1}]; for samples that agreed past k,
+                # g_{k+1} == d_{k+1}, so this is still their greedy token
+                idx = jnp.arange(gamma + 1)[None, :]
+                slab = jnp.where(
+                    idx < k,
+                    jnp.pad(proposals, ((0, 0), (0, 1))),
+                    jnp.where(idx == k, g, net.eos_id),
+                )
+                # eos propagation within the slab + across iterations
+                # (only genuinely emitted entries idx <= k count — the idx > k
+                # tail is eos padding, not output)
+                emitted_eos = (slab == net.eos_id) & (idx <= k)
+                hit_eos = jnp.cumsum(emitted_eos.astype(jnp.int32), axis=1) > 0
+                prev_hit = jnp.concatenate(
+                    [jnp.zeros((batch, 1), bool), hit_eos[:, :-1]], axis=1
+                )
+                slab = jnp.where(done[:, None] | prev_hit, net.eos_id, slab)
+                new_done = done | hit_eos[:, -1]
+
+                buf = jax.lax.dynamic_update_slice(buf, slab, (0, p))
+                advance = k + 1
+                last_token = slab[jnp.arange(batch), jnp.minimum(advance - 1, gamma)]
+                last_token = jnp.where(new_done, net.eos_id, last_token)
+                return (p + advance, last_token, buf, new_done, full_caches,
+                        draft_caches)
+
+            bos = jnp.full((batch,), net.bos_id, dtype=jnp.int32)
+            init = (jnp.asarray(0, jnp.int32), bos, buf,
+                    jnp.zeros((batch,), bool), full_caches, draft_caches)
+            _, _, buf, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+            tokens = buf[:, :max_length]
+            is_eos = tokens == net.eos_id
+            any_eos = jnp.any(is_eos, axis=1)
+            first = jnp.where(any_eos, jnp.argmax(is_eos, axis=1), max_length)
+            mask = jnp.arange(max_length)[None, :] < first[:, None]
+            tokens = jnp.where(mask, tokens, 0)
+            return tokens, mask
+
+        return run
+
     def generate(
         self,
         source,
@@ -346,7 +483,7 @@ class TextToSemantic:
         max_length: int = 2048,
         return_target_mask: bool = False,
         temperature: float = 0.0,
-        spec_decode: bool = False,  # accepted for API parity; standard decode used
+        spec_decode: bool = False,
         spec_decode_gamma: int = 5,
         rng=None,
         params=None,
@@ -364,12 +501,24 @@ class TextToSemantic:
             source = jnp.asarray(source)
 
         batch = source.shape[0]
-        key = (batch, int(max_length), float(temperature))
-        if key not in self._samplers:
-            self._samplers[key] = self._build_generate(*key)
-        tokens, mask = self._samplers[key](
-            params, source, rng if rng is not None else self._next_rng()
-        )
+        if spec_decode and temperature == 0.0:
+            draft_layers = max(1, self.net.dec_depth // 2)
+            key = ("spec", batch, int(max_length), int(spec_decode_gamma),
+                   draft_layers)
+            if key not in self._samplers:
+                self._samplers[key] = self._build_generate_spec(
+                    batch, int(max_length), int(spec_decode_gamma), draft_layers
+                )
+            tokens, mask = self._samplers[key](params, source)
+        else:
+            # sampled speculative decoding needs the rejection-sampling
+            # variant; fall back to standard cached decode for temperature > 0
+            key = (batch, int(max_length), float(temperature))
+            if key not in self._samplers:
+                self._samplers[key] = self._build_generate(*key)
+            tokens, mask = self._samplers[key](
+                params, source, rng if rng is not None else self._next_rng()
+            )
         # replace padding (post-eos) ids with 0 for safe embedding lookups
         tokens = jnp.where(mask, tokens, 0)
         if return_target_mask:

@@ -94,7 +94,8 @@ class _Block(nn.Module):
             qk_norm=self.attn_qk_norm,
             dtype=self.dtype,
             name="attn",
-        )(norm(attn_norm, x), mask=mask, rotary_emb=rotary_emb)
+        )(norm(attn_norm, x), mask=mask, rotary_emb=rotary_emb,
+          deterministic=deterministic)
         x = attn_out + x
 
         ff_out = FeedForward(

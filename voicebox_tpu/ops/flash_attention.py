@@ -45,8 +45,13 @@ def reference_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """XLA attention. q,k,v: (b, h, n, d); mask: (b, kv) key-padding mask."""
+    """XLA attention. q,k,v: (b, h, n, d); mask: (b, kv) key-padding mask.
+
+    `dropout` is applied to the attention weights (attend.py:46,129-130
+    semantics) when a `dropout_rng` is supplied."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
@@ -58,6 +63,9 @@ def reference_attention(
         sim = jnp.where(mask[:, None, None, :], sim, _NEG_INF)
 
     attn = jax.nn.softmax(sim, axis=-1)
+    if dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
     out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
     return out.astype(q.dtype)
 

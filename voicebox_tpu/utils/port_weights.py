@@ -155,3 +155,139 @@ def _as_mutable(tree):
         return {k: _as_mutable(v) for k, v in tree.items()}
     except AttributeError:
         return tree
+
+
+# ---------------------------------------------------------------------------
+# Encodec (SEANet + RVQ) porting — upstream facebook/encodec_24khz state dict
+# ---------------------------------------------------------------------------
+
+
+def _split_torch_lstm(sd, prefix: str, layer: int):
+    """torch LSTM layer weights -> flax OptimizedLSTMCell param dict.
+
+    torch packs gates as [i, f, g, o] rows of weight_ih/weight_hh
+    ((4h, in) / (4h, h)); flax keeps per-gate Dense modules ii/if/ig/io
+    (input, no bias) and hi/hf/hg/ho (hidden, bias). torch's two bias vectors
+    (b_ih + b_hh) fold into the hidden-side bias."""
+    w_ih = sd[f"{prefix}.weight_ih_l{layer}"]
+    w_hh = sd[f"{prefix}.weight_hh_l{layer}"]
+    b = sd.get(f"{prefix}.bias_ih_l{layer}", 0) + sd.get(f"{prefix}.bias_hh_l{layer}", 0)
+    h = w_hh.shape[1]
+    gates = ["i", "f", "g", "o"]
+    import jax.numpy as jnp
+
+    out = {}
+    for gi, g in enumerate(gates):
+        sl = slice(gi * h, (gi + 1) * h)
+        out[f"i{g}"] = {"kernel": jnp.asarray(w_ih[sl].T)}
+        out[f"h{g}"] = {
+            "kernel": jnp.asarray(w_hh[sl].T),
+            "bias": jnp.asarray(b[sl]) if not isinstance(b, int) else jnp.zeros((h,)),
+        }
+    return out
+
+
+def _wn_conv(sd, prefix: str):
+    """Fused weight-norm conv kernel from `<prefix>.weight_g/.weight_v`
+    (or plain `.weight`), converted to flax layout, plus bias."""
+    if f"{prefix}.weight_g" in sd:
+        w = fuse_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+    else:
+        w = sd[f"{prefix}.weight"]
+    return torch_conv1d_to_flax(w), sd.get(f"{prefix}.bias")
+
+
+def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
+    """Port an upstream Encodec 24 kHz state dict into our EncodecModel
+    param tree (encoder + decoder + quantizer codebooks).
+
+    Upstream SEANet encoder module indices (facebook/encodec):
+    0 stem conv; then per downsampling block i: (3i+1) resnet block,
+    (3i+3) strided conv; 13 SLSTM; 15 head conv. Residual block convs live at
+    `block.1` (k3) and `block.3` (k1)."""
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(path)
+    p = _as_mutable(template_params)
+
+    def set_conv(dst, torch_prefix):
+        w, b = _wn_conv(sd, torch_prefix)
+        dst["kernel"] = jnp.asarray(w)
+        if b is not None:
+            dst["bias"] = jnp.asarray(b)
+
+    n_blocks = len(ratios)
+    for side, tree in (("encoder", p["encoder"]), ("decoder", p["decoder"])):
+        base = f"{side}.model"
+        set_conv(tree["stem"]["conv"], f"{base}.0.conv.conv")
+        lstm_idx = 1 + 3 * n_blocks
+        for i in range(n_blocks):
+            if side == "encoder":
+                blk, down = f"{base}.{3*i+1}", f"{base}.{3*i+3}"
+                set_conv(tree[f"res_{i}"]["conv1"]["conv"], f"{blk}.block.1.conv.conv")
+                set_conv(tree[f"res_{i}"]["conv2"]["conv"], f"{blk}.block.3.conv.conv")
+                set_conv(tree[f"down_{i}"]["conv"], f"{down}.conv.conv")
+            else:
+                # decoder: [stem, lstm, (elu, convtr, resblock) x4, elu, head]
+                up, blk = f"{base}.{3*i+3}", f"{base}.{3*i+4}"
+                w, b = _wn_conv(sd, f"{up}.convtr.convtr")
+                tree[f"up_{i}"]["convtr"]["kernel"] = jnp.asarray(
+                    torch_convtranspose1d_to_flax(
+                        fuse_weight_norm(sd[f"{up}.convtr.convtr.weight_g"],
+                                         sd[f"{up}.convtr.convtr.weight_v"])
+                        if f"{up}.convtr.convtr.weight_g" in sd
+                        else sd[f"{up}.convtr.convtr.weight"]
+                    )
+                )
+                if b is not None:
+                    tree[f"up_{i}"]["convtr"]["bias"] = jnp.asarray(b)
+                set_conv(tree[f"res_{i}"]["conv1"]["conv"], f"{blk}.block.1.conv.conv")
+                set_conv(tree[f"res_{i}"]["conv2"]["conv"], f"{blk}.block.3.conv.conv")
+        lstm_prefix = f"{base}.{lstm_idx if side == 'encoder' else 1}.lstm"
+        for layer in (0, 1):
+            key = f"{lstm_prefix}.weight_ih_l{layer}"
+            if key in sd:
+                tree["lstm"][f"lstm_{layer}"]["cell"] = _split_torch_lstm(
+                    sd, lstm_prefix, layer
+                )
+        set_conv(tree["head"]["conv"],
+                 f"{base}.{lstm_idx + 2 if side == 'encoder' else len(ratios)*3 + 3}.conv.conv")
+
+    # RVQ codebooks: quantizer.vq.layers.{i}._codebook.embed (k, dim)
+    codebooks = []
+    i = 0
+    while f"quantizer.vq.layers.{i}._codebook.embed" in sd:
+        codebooks.append(sd[f"quantizer.vq.layers.{i}._codebook.embed"])
+        i += 1
+    if codebooks:
+        import numpy as _np
+
+        n_q = p["quantizer"]["codebooks"].shape[0]
+        p["quantizer"]["codebooks"] = jnp.asarray(_np.stack(codebooks[:n_q]))
+    return p
+
+
+def load_hubert_torch(path: str, template_params):
+    """Port a fairseq/transformers HuBERT state dict into our HubertWithKmeans
+    param tree (conv feature extractor + post-proj; transformer blocks mapped
+    by position)."""
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(path)
+    p = _as_mutable(template_params)
+
+    # transformers naming: feature_extractor.conv_layers.{i}.conv.weight
+    for i in range(7):
+        for prefix in (
+            f"feature_extractor.conv_layers.{i}.conv",
+            f"hubert.feature_extractor.conv_layers.{i}.conv",
+        ):
+            if f"{prefix}.weight" in sd:
+                p["feature_extractor"][f"conv_{i}"]["kernel"] = jnp.asarray(
+                    torch_conv1d_to_flax(sd[f"{prefix}.weight"])
+                )
+    for prefix in ("feature_projection.projection", "hubert.feature_projection.projection"):
+        if f"{prefix}.weight" in sd:
+            p["proj"]["kernel"] = jnp.asarray(torch_linear_to_dense(sd[f"{prefix}.weight"]))
+            p["proj"]["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+    return p

@@ -22,6 +22,11 @@ Two execution modes:
   Parameter layout differs (stacked leading depth axis), so the flag is part
   of the checkpoint format.
 
+  Measured on one v5e chip (dim 512, depth 24, bf16, batch 8, seq 768):
+  scan compiles the train step in ~130 s vs ~300 s unrolled, but runs ~17%
+  slower (5.2 vs 6.3 steps/s — scan blocks cross-layer fusion), so unrolled
+  stays the default for production training.
+
 Blocks can be rematerialised (`remat=True`) to trade FLOPs for HBM during
 training; composes with both modes.
 """

@@ -1,0 +1,124 @@
+"""Tests for FSDP/TP parameter-sharding rules on the 8-virtual-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+from voicebox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from voicebox_tpu.parallel.sharding_rules import (
+    make_param_shardings,
+    param_partition_spec,
+    shard_params,
+)
+
+
+class _Key:
+    def __init__(self, key):
+        self.key = key
+
+
+def _path(*names):
+    return tuple(_Key(n) for n in names)
+
+
+class TestRules:
+    def test_replicated(self):
+        spec = param_partition_spec(_path("block_0", "attn", "to_qkv", "kernel"),
+                                    jnp.zeros((64, 192)), mode="replicated")
+        assert spec == P()
+
+    def test_tp_column_row(self):
+        shape = {"data": 2, "model": 4}
+        qkv = param_partition_spec(_path("attn", "to_qkv", "kernel"),
+                                   jnp.zeros((64, 192)), "tp", shape)
+        assert qkv == P(None, MODEL_AXIS)
+        out = param_partition_spec(_path("attn", "to_out", "kernel"),
+                                   jnp.zeros((192, 64)), "tp", shape)
+        assert out == P(MODEL_AXIS, None)
+        ff_in = param_partition_spec(_path("ff", "proj_in", "kernel"),
+                                     jnp.zeros((64, 256)), "tp", shape)
+        assert ff_in == P(None, MODEL_AXIS)
+
+    def test_tp_skips_indivisible(self):
+        spec = param_partition_spec(_path("attn", "to_qkv", "kernel"),
+                                    jnp.zeros((64, 190)), "tp",
+                                    {"data": 2, "model": 4})
+        assert spec == P(None, None)
+
+    def test_tp_vocab(self):
+        spec = param_partition_spec(_path("to_cond_emb", "embedding"),
+                                    jnp.zeros((500, 64)), "tp",
+                                    {"data": 2, "model": 4})
+        assert spec == P(MODEL_AXIS, None)
+
+    def test_fsdp_large_only(self):
+        shape = {"data": 4, "model": 1}
+        big = param_partition_spec(_path("ff", "proj_in", "kernel"),
+                                   jnp.zeros((512, 512)), "fsdp", shape)
+        assert DATA_AXIS in tuple(big)
+        small = param_partition_spec(_path("norm", "gamma"),
+                                     jnp.zeros((64,)), "fsdp", shape)
+        assert small == P(None)
+
+    def test_fsdp_plus_tp_compose(self):
+        shape = {"data": 2, "model": 4}
+        spec = param_partition_spec(_path("attn", "to_qkv", "kernel"),
+                                    jnp.zeros((512, 768)), "fsdp+tp", shape)
+        # tp on the output dim, fsdp picks the remaining (input) dim
+        assert spec == P(DATA_AXIS, MODEL_AXIS)
+
+
+class TestShardedTraining:
+    @pytest.mark.parametrize("mode", ["fsdp", "tp", "fsdp+tp"])
+    def test_train_step_runs_sharded(self, rng, mode, tmp_path):
+        from voicebox_tpu.training.data import ArrayDataset
+        from voicebox_tpu.training.trainer import VoiceBoxTrainer
+
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(model_parallel=2)  # 4 x 2 mesh
+
+        vb = VoiceBox(dim_in=32, dim=64, depth=2, dim_head=16, heads=4,
+                      num_register_tokens=2, condition_on_text=False)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=16, batch=2)
+
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(16, 32).astype(np.float32)
+             for i in range(32)]
+        )
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=2, valid_frac=0.25,
+            results_folder=str(tmp_path / "res"), mesh=mesh,
+            param_sharding=mode, min_fsdp_size=1024, bucket_multiple=16,
+            save_model_every=100, save_results_every=100,
+        )
+        # verify at least one weight actually got a non-trivial sharding
+        specs = jax.tree.leaves(
+            jax.tree.map(lambda p: p.sharding.spec, tr.params,
+                         is_leaf=lambda x: hasattr(x, "sharding"))
+        )
+        assert any(any(ax is not None for ax in tuple(s)) for s in specs), (
+            f"no param sharded under mode={mode}"
+        )
+        tr.train()
+        assert tr.steps == 2
+
+    def test_fsdp_matches_replicated_loss(self, rng):
+        """Sharding must not change the math: one jitted loss under fsdp+tp
+        equals the replicated loss."""
+        mesh = make_mesh(model_parallel=2)
+        vb = VoiceBox(dim_in=32, dim=64, depth=2, dim_head=16, heads=4,
+                      num_register_tokens=2, condition_on_text=False)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        params = cfm.init_params(rng, seq_len=16, batch=2)
+        x = jax.random.normal(rng, (4, 16, 32))
+        key = jax.random.PRNGKey(7)
+
+        loss_rep = jax.jit(cfm.loss_fn)(params, x, key)
+        sharded = shard_params(mesh, params, "fsdp+tp", min_fsdp_size=256)
+        loss_sh = jax.jit(cfm.loss_fn)(sharded, x, key)
+        np.testing.assert_allclose(np.asarray(loss_rep), np.asarray(loss_sh),
+                                   rtol=2e-5)

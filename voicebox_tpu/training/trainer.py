@@ -76,6 +76,8 @@ class VoiceBoxTrainer:
         force_clear_prev_results: bool = False,
         mesh=None,
         use_mesh: bool = True,
+        param_sharding: str = "replicated",  # replicated | fsdp | tp | fsdp+tp
+        min_fsdp_size: int = 2**16,
         seed: int = 0,
         bucket_multiple: int = 256,
         max_length: Optional[int] = None,
@@ -137,16 +139,25 @@ class VoiceBoxTrainer:
         else:
             self._batch_sharding = None
             self._replicated = None
+        self._param_sharding_mode = param_sharding
+        self._min_fsdp_size = min_fsdp_size
 
         # params / optimizer state
         assert cfm_wrapper.params is not None, (
             "initialise the wrapper first: cfm_wrapper.init_params(rng, ...)"
         )
         self.params = cfm_wrapper.params
-        self.opt_state = self.optimizer.init(self.params)
-        if self._replicated is not None:
-            self.params = jax.device_put(self.params, self._replicated)
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        if mesh is not None:
+            from ..parallel.sharding_rules import shard_params
+
+            # fsdp/tp rules shard weights over the mesh; optimizer state
+            # inherits the layout through sharding propagation of jit(init)
+            self.params = shard_params(
+                mesh, self.params, param_sharding, min_fsdp_size=min_fsdp_size
+            )
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
 
         # data loaders (cycled infinitely, reference trainer.py:166-169)
         micro_bs = batch_size
@@ -314,9 +325,14 @@ class VoiceBoxTrainer:
             pkg = serialization.msgpack_restore(f.read())
         self.params = serialization.from_state_dict(self.params, pkg["model"])
         self.opt_state = serialization.from_state_dict(self.opt_state, pkg["optim"])
-        if self._replicated is not None:
-            self.params = jax.device_put(self.params, self._replicated)
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        if self.mesh is not None:
+            from ..parallel.sharding_rules import shard_params
+
+            self.params = shard_params(self.mesh, self.params,
+                                       self._param_sharding_mode,
+                                       min_fsdp_size=self._min_fsdp_size)
+            # opt_state leaves are uncommitted host arrays after restore; the
+            # first jitted step re-lays them out to follow the param shardings
         self.cfm_wrapper.params = self.params
         # steps is stored in the checkpoint itself — not regexed from the
         # filename like the reference (trainer.py:47-58)

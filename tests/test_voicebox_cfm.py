@@ -214,3 +214,36 @@ class TestCFMWrapper:
         cfm.init_params(rng)
         with pytest.raises(AssertionError):
             cfm(jnp.zeros((2, 1200)))  # (b, n) raw audio, no codec attached
+
+
+class TestForwardWithCondScale:
+    def test_scale_one_is_plain_forward(self, rng):
+        vb = _cond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 50)
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x,
+                         cond_token_ids=ids)["params"]
+        kwargs = dict(times=jnp.full((2,), 0.3), cond=x, cond_token_ids=ids,
+                      cond_mask=jnp.ones((2, 16), bool))
+        a = vb.forward_with_cond_scale(params, x, cond_scale=1.0, **kwargs)
+        b = vb.apply({"params": params}, x, cond_drop_prob=0.0,
+                     cond_drop_mask=jnp.zeros((2,), bool), **kwargs)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    def test_cfg_equals_two_forward_lerp(self, rng):
+        vb = _cond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 50)
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x,
+                         cond_token_ids=ids)["params"]
+        kwargs = dict(times=jnp.full((2,), 0.3), cond=x, cond_token_ids=ids,
+                      cond_mask=jnp.ones((2, 16), bool))
+
+        def fwd(drop):
+            return vb.apply({"params": params}, x, cond_drop_prob=0.0,
+                            cond_drop_mask=jnp.full((2,), drop), **kwargs)
+
+        scale = 1.7
+        expected = fwd(True) + (fwd(False) - fwd(True)) * scale
+        got = vb.forward_with_cond_scale(params, x, cond_scale=scale, **kwargs)
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)

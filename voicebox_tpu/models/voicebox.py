@@ -78,6 +78,42 @@ class VoiceBox(nn.Module):
         assert self.num_cond_tokens is not None
         return self.num_cond_tokens
 
+    def forward_with_cond_scale(self, params, x, *, cond_scale: float = 1.0,
+                                **kwargs):
+        """Classifier-free-guided forward (module-level parity with
+        voicebox_pytorch.py:972-985): `null + (cond - null) * scale`.
+
+        Runs the cond/null pair as ONE 2b-batched apply (the sampler in
+        `models/cfm.py` does the same inline)."""
+        kwargs.pop("cond_drop_prob", None)
+        b = x.shape[0]
+        if cond_scale == 1.0:
+            return self.apply(
+                {"params": params}, x, cond_drop_prob=0.0,
+                cond_drop_mask=jnp.zeros((b,), dtype=bool), **kwargs,
+            )
+
+        def cat(t):
+            return None if t is None else jnp.concatenate([t, t], axis=0)
+
+        times = kwargs.pop("times")
+        times = jnp.asarray(times)
+        if times.ndim == 0:
+            times = jnp.broadcast_to(times, (b,))
+        kwargs2 = {
+            k: (cat(v) if isinstance(v, jax.Array) else v)
+            for k, v in kwargs.items()
+        }
+        drop2 = jnp.concatenate(
+            [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)]
+        )
+        out2 = self.apply(
+            {"params": params}, cat(x), times=cat(times), cond_drop_prob=0.0,
+            cond_drop_mask=drop2, **kwargs2,
+        )
+        logits, null_logits = out2[:b], out2[b:]
+        return null_logits + (logits - null_logits) * cond_scale
+
     @nn.compact
     def __call__(
         self,

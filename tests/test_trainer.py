@@ -226,3 +226,33 @@ class TestConditionalTraining:
         )
         tr.train()
         assert tr.steps == 2
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_save_restore_roundtrip(self, tmp_path, rng):
+        cfm = _make_cfm(rng)
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(16, 32).astype(np.float32) for i in range(16)]
+        )
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=2, valid_frac=0.25,
+            results_folder=str(tmp_path / "r"), save_model_every=1,
+            save_results_every=100, bucket_multiple=16, use_mesh=False,
+            checkpoint_backend="orbax",
+        )
+        tr.train()
+        tr.checkpointer.wait()
+        latest = tr.checkpointer.latest_step()
+        assert latest is not None
+
+        tr2 = VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=2, valid_frac=0.25,
+            results_folder=str(tmp_path / "r"), save_model_every=100,
+            save_results_every=100, bucket_multiple=16, use_mesh=False,
+            checkpoint_backend="orbax",
+        )
+        tr2.load(latest)
+        assert tr2.steps == latest
+        a = jax.tree.leaves(tr.params)[0]
+        b = jax.tree.leaves(tr2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

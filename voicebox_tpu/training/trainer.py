@@ -84,6 +84,7 @@ class VoiceBoxTrainer:
         drop_last: bool = False,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        checkpoint_backend: str = "msgpack",  # msgpack | orbax (async)
     ):
         self.cfm_wrapper = cfm_wrapper
         self.batch_size = batch_size
@@ -192,6 +193,10 @@ class VoiceBoxTrainer:
         # for the reference's absent tracing hooks — SURVEY.md §5)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+
+        from .checkpoint import make_checkpointer
+
+        self.checkpointer = make_checkpointer(checkpoint_backend, self.results_folder)
 
         self._metrics_path = self.results_folder / "metrics.jsonl"
         self._rng = jax.random.PRNGKey(seed)
@@ -311,20 +316,12 @@ class VoiceBoxTrainer:
     # ------------------------------------------------------------------
 
     def save(self, path):
-        pkg = {
-            "model": serialization.to_state_dict(jax.device_get(self.params)),
-            "optim": serialization.to_state_dict(jax.device_get(self.opt_state)),
-            "steps": self.steps,
-        }
-        Path(path).parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.msgpack_serialize(pkg))
+        self.checkpointer.save(path, self.params, self.opt_state, self.steps)
 
     def load(self, path):
-        with open(path, "rb") as f:
-            pkg = serialization.msgpack_restore(f.read())
-        self.params = serialization.from_state_dict(self.params, pkg["model"])
-        self.opt_state = serialization.from_state_dict(self.opt_state, pkg["optim"])
+        self.params, self.opt_state, steps = self.checkpointer.restore(
+            path, self.params, self.opt_state
+        )
         if self.mesh is not None:
             from ..parallel.sharding_rules import shard_params
 
@@ -336,7 +333,7 @@ class VoiceBoxTrainer:
         self.cfm_wrapper.params = self.params
         # steps is stored in the checkpoint itself — not regexed from the
         # filename like the reference (trainer.py:47-58)
-        self.steps = int(pkg["steps"])
+        self.steps = steps
 
     def generate(self, *args, **kwargs):
         self.cfm_wrapper.params = self.params
@@ -395,4 +392,5 @@ class VoiceBoxTrainer:
             logs = self.train_step()
             log_fn(logs)
         self.print("training complete")
+        self.checkpointer.wait()  # flush async checkpoint writes
         self.cfm_wrapper.params = self.params

@@ -167,3 +167,41 @@ class TestFullPipeline:
         audio = jax.random.normal(jax.random.PRNGKey(1), (1, 4800)) * 0.1
         loss = cfm(audio, input_sampling_rate=24000)
         assert jnp.isfinite(loss)
+
+
+class TestSampledSpecDecode:
+    def test_tiny_temperature_matches_greedy(self, tts):
+        std = tts.generate(["hello there"], max_length=8)
+        spec = tts.generate(["hello there"], max_length=8, spec_decode=True,
+                            temperature=1e-4, spec_decode_gamma=3,
+                            rng=jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(spec))
+
+    def test_deterministic_given_rng(self, tts):
+        a = tts.generate(["xy"], max_length=6, spec_decode=True, temperature=0.9,
+                         rng=jax.random.PRNGKey(5))
+        b = tts.generate(["xy"], max_length=6, spec_decode=True, temperature=0.9,
+                         rng=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_first_token_distribution_matches_p(self, tts):
+        """Rejection-sampling correctness: empirical first-token frequencies
+        must match the FULL model's softmax, not the draft's."""
+        batch = 512
+        text = jnp.asarray(tts.tokenizer.texts_to_tensor_ids(["abc"] * batch))
+        toks, mask = tts.generate(text, max_length=1, spec_decode=True,
+                                  temperature=1.0, spec_decode_gamma=2,
+                                  return_target_mask=True,
+                                  rng=jax.random.PRNGKey(1))
+        # reference: full-model p at the bos position
+        net = tts.net
+        logits = net.apply({"params": tts.params}, text[:1],
+                           jnp.zeros((1, 0), jnp.int32))
+        p = np.asarray(jax.nn.softmax(logits[0, 0]))
+
+        first = np.asarray(jnp.where(mask[:, 0], toks[:, 0], net.eos_id))
+        vocab = p.shape[0]
+        counts = np.bincount(first, minlength=vocab)[:vocab].astype(np.float64)
+        emp = counts / counts.sum()
+        tv = 0.5 * np.abs(emp - p).sum()
+        assert tv < 0.15, f"total variation {tv:.3f} too high — biased sampling"

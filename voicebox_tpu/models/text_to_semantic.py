@@ -474,6 +474,156 @@ class TextToSemantic:
 
         return run
 
+    def _build_generate_spec_sampled(self, batch: int, max_length: int,
+                                     gamma: int, draft_layers: int,
+                                     temperature: float):
+        """Sampled speculative decoding (rejection sampling, Leviathan et al.
+        2022): draft q proposes, the full model p verifies; token i is accepted
+        with prob min(1, p(x_i)/q(x_i)), a rejection resamples from
+        norm(max(0, p - q)). Per-sample accepted tokens beyond the batch-min
+        advance are themselves valid samples from p, so the batch still
+        advances uniformly by (min accepted + 1) without biasing any row's
+        distribution."""
+        net = self.net
+        h, d = net.heads, net.dim_head
+        buf_len = max_length + gamma + 1
+        inv_t = 1.0 / max(temperature, 1e-6)
+
+        @jax.jit
+        def run(params, text_ids, rng):
+            context, text_mask = net.apply(
+                {"params": params}, text_ids, method=net.encode_text
+            )
+
+            def make_caches(n_layers):
+                return tuple(
+                    (
+                        jnp.zeros((batch, h, buf_len, d)),
+                        jnp.zeros((batch, h, buf_len, d)),
+                    )
+                    for _ in range(n_layers)
+                )
+
+            full_caches = make_caches(net.dec_depth)
+            draft_caches = make_caches(draft_layers)
+            buf = jnp.full((batch, buf_len), net.eos_id, dtype=jnp.int32)
+
+            def cond(state):
+                p, _, _, done, _, _, _ = state
+                return (p < max_length) & ~jnp.all(done)
+
+            def body(state):
+                p, last_token, buf, done, full_caches, draft_caches, key = state
+                key, k_draft, k_accept, k_res = jax.random.split(key, 4)
+
+                # --- draft: gamma sampled steps, keeping q log-probs ---
+                def draft_step(carry, inp):
+                    tok, caches = carry
+                    j, kd = inp
+                    logits, caches = net.apply(
+                        {"params": params}, tok[:, None], p + j, caches,
+                        context, text_mask, num_layers=draft_layers,
+                        method=net.decode_chunk,
+                    )
+                    logq = jax.nn.log_softmax(logits[:, 0] * inv_t, axis=-1)
+                    nxt = jax.random.categorical(kd, logq).astype(jnp.int32)
+                    return (nxt, caches), (nxt, logq)
+
+                draft_keys = jax.random.split(k_draft, gamma)
+                (_, draft_caches), (proposals, logqs) = jax.lax.scan(
+                    draft_step, (last_token, draft_caches),
+                    (jnp.arange(gamma), draft_keys),
+                )
+                proposals = proposals.T  # (b, gamma)
+                logqs = logqs.transpose(1, 0, 2)  # (b, gamma, vocab)
+
+                # --- verify chunk with the full model ---
+                chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
+                logits, full_caches = net.apply(
+                    {"params": params}, chunk, p, full_caches, context,
+                    text_mask, method=net.decode_chunk,
+                )
+                logps = jax.nn.log_softmax(logits * inv_t, axis=-1)  # (b, g+1, v)
+
+                # accept_i: u < p(d_i)/q(d_i)
+                gather = lambda lp, ids: jnp.take_along_axis(
+                    lp, ids[..., None], axis=-1
+                )[..., 0]
+                lp_d = gather(logps[:, :gamma], proposals)
+                lq_d = gather(logqs, proposals)
+                u = jax.random.uniform(k_accept, (batch, gamma))
+                accept = jnp.log(jnp.clip(u, 1e-20, None)) < (lp_d - lq_d)
+                prefix = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+                k_b = jnp.sum(prefix, axis=1)  # per-sample accepted count
+                k = jnp.min(k_b)
+
+                # correction token at slot k: rows with k_b > k reuse their
+                # accepted draft d_{k+1}; rows with k_b == k resample from the
+                # residual norm(max(0, p - q)); k == gamma rows sample the
+                # bonus from p directly
+                p_slot = jnp.take_along_axis(
+                    logps, jnp.full((batch, 1, 1), 0) + k[None, None], axis=1
+                )[:, 0]  # logps[:, k] (b, v)
+                q_slot = jnp.take_along_axis(
+                    logqs, jnp.minimum(k, gamma - 1)[None, None]
+                    + jnp.zeros((batch, 1, 1), jnp.int32), axis=1
+                )[:, 0]
+                residual = jnp.clip(jnp.exp(p_slot) - jnp.exp(q_slot), 0.0, None)
+                residual = jnp.where(
+                    (k == gamma) | (residual.sum(-1, keepdims=True) < 1e-9),
+                    jnp.exp(p_slot),
+                    residual,
+                )
+                res_tok = jax.random.categorical(
+                    k_res, jnp.log(jnp.clip(residual, 1e-20, None))
+                ).astype(jnp.int32)
+                has_extra = k_b > k
+                corr = jnp.where(
+                    has_extra,
+                    jnp.take_along_axis(
+                        jnp.pad(proposals, ((0, 0), (0, 1))),
+                        jnp.minimum(k, gamma)[None] + jnp.zeros((batch, 1), jnp.int32),
+                        axis=1,
+                    )[:, 0],
+                    res_tok,
+                )
+
+                idx = jnp.arange(gamma + 1)[None, :]
+                slab = jnp.where(
+                    idx < k,
+                    jnp.pad(proposals, ((0, 0), (0, 1))),
+                    jnp.where(idx == k, corr[:, None], net.eos_id),
+                )
+                emitted_eos = (slab == net.eos_id) & (idx <= k)
+                hit_eos = jnp.cumsum(emitted_eos.astype(jnp.int32), axis=1) > 0
+                prev_hit = jnp.concatenate(
+                    [jnp.zeros((batch, 1), bool), hit_eos[:, :-1]], axis=1
+                )
+                slab = jnp.where(done[:, None] | prev_hit, net.eos_id, slab)
+                new_done = done | hit_eos[:, -1]
+
+                buf = jax.lax.dynamic_update_slice(buf, slab, (0, p))
+                advance = k + 1
+                last_token = slab[jnp.arange(batch), jnp.minimum(advance - 1, gamma)]
+                last_token = jnp.where(new_done, net.eos_id, last_token)
+                return (p + advance, last_token, buf, new_done, full_caches,
+                        draft_caches, key)
+
+            bos = jnp.full((batch,), net.bos_id, dtype=jnp.int32)
+            init = (jnp.asarray(0, jnp.int32), bos, buf,
+                    jnp.zeros((batch,), bool), full_caches, draft_caches, rng)
+            _, _, buf, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+            tokens = buf[:, :max_length]
+            is_eos = tokens == net.eos_id
+            any_eos = jnp.any(is_eos, axis=1)
+            first = jnp.where(any_eos, jnp.argmax(is_eos, axis=1), max_length)
+            mask = jnp.arange(max_length)[None, :] < first[:, None]
+            tokens = jnp.where(mask, tokens, 0)
+            return tokens, mask
+
+        return run
+
     def generate(
         self,
         source,
@@ -510,9 +660,19 @@ class TextToSemantic:
                     batch, int(max_length), int(spec_decode_gamma), draft_layers
                 )
             tokens, mask = self._samplers[key](params, source)
+        elif spec_decode:
+            draft_layers = max(1, self.net.dec_depth // 2)
+            key = ("spec_sampled", batch, int(max_length),
+                   int(spec_decode_gamma), draft_layers, float(temperature))
+            if key not in self._samplers:
+                self._samplers[key] = self._build_generate_spec_sampled(
+                    batch, int(max_length), int(spec_decode_gamma),
+                    draft_layers, float(temperature),
+                )
+            tokens, mask = self._samplers[key](
+                params, source, rng if rng is not None else self._next_rng()
+            )
         else:
-            # sampled speculative decoding needs the rejection-sampling
-            # variant; fall back to standard cached decode for temperature > 0
             key = (batch, int(max_length), float(temperature))
             if key not in self._samplers:
                 self._samplers[key] = self._build_generate(*key)

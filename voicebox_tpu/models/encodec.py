@@ -25,7 +25,6 @@ torch state dict when one is provided.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax

@@ -17,15 +17,16 @@ Design (Spear-TTS, arXiv 2302.03540, re-shaped for XLA):
   a preallocated KV cache per layer — static shapes, one compiled program per
   (batch, max_length) config. Per-step work is O(max_length) instead of the
   O(max_length^2) full re-forward a naive port would do.
-* speculative decoding (`spec_decode=...`) is accepted for API parity and
-  currently falls back to standard cached decoding (the reference treats it as
-  an optional fast path, voicebox_pytorch.py:1191).
+* speculative decoding (`spec_decode=True`, voicebox_pytorch.py:1191) is
+  implemented natively: a self-speculative early-exit draft (first half of the
+  decoder stack) proposes `gamma` tokens and the full model verifies them in
+  one chunk forward. Greedy mode reproduces plain greedy decoding exactly;
+  temperature > 0 uses unbiased rejection sampling.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ training; composes with both modes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -1,6 +1,6 @@
 """Bidirectional attention for TPU.
 
-Replaces the reference's `Attend` kernel dispatcch (attend.py:38-137), which
+Replaces the reference's `Attend` kernel dispatch (attend.py:38-137), which
 chooses between CUDA SDPA flash kernels and a naive einsum. Here the two paths
 are:
 
@@ -26,13 +26,11 @@ where only the forward runs).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["attend", "flash_attention", "reference_attention"]
 

@@ -16,7 +16,7 @@ filename (reference quirk, trainer.py:47-58)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 from flax import serialization

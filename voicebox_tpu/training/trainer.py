@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import serialization
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.cfm import ConditionalFlowMatcherWrapper

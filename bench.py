@@ -8,6 +8,23 @@ Prints ONE JSON line:
 `vs_baseline` is the ratio of the north-star RTF target (0.05) to the measured
 RTF (>1.0 means beating the target); the reference itself publishes no numbers
 (BASELINE.md).
+
+Timing methodology (tunneled-TPU-safe):
+* `block_until_ready` does not force remote execution on the axon backend and
+  identical-input repeat executions can be served from a cache — every timed
+  program therefore ends in a scalar that is fetched with `float()`, and every
+  call gets fresh PRNG inputs.
+* train steps/s uses a differential: one jitted `lax.scan` of K=22 steps vs
+  one of K=2, (t22 - t2) / 20 — constant dispatch/tunnel cost cancels, leaving
+  pure on-chip step time.
+* sampling RTF is per-request latency including dispatch (what a server sees);
+  the measured dispatch round-trip is reported alongside.
+
+Model config is the TPU-tuned flagship: dim 512, depth 24, heads 4 x
+dim_head 128 (same parameter count and FLOPs as the reference's 8 x 64 split,
+but d=128 fills the 128-wide MXU — measured 33% faster), and 752-frame
+sequences so frames + 16 register tokens = 768 = 6*128 lanes (register-aligned
+buckets, see training/data.py).
 """
 
 import json
@@ -17,6 +34,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
+SEQ_LEN = 752  # + 16 register tokens = 768 = 6 * 128
+LATENT_DIM = 128  # Encodec latent dim
+
 
 def _build(dtype):
     from voicebox_tpu import VoiceBox
@@ -24,12 +44,12 @@ def _build(dtype):
 
     vb = VoiceBox(
         num_cond_tokens=500,
-        dim_in=128,  # Encodec latent dim
+        dim_in=LATENT_DIM,
         dim_cond_emb=512,
         dim=512,
         depth=24,
-        dim_head=64,
-        heads=8,
+        dim_head=128,
+        heads=4,
         num_register_tokens=16,
         attn_qk_norm=True,
         condition_on_text=True,
@@ -38,58 +58,84 @@ def _build(dtype):
     return ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
 
 
-def bench_train(cfm, batch=8, seq_len=768, iters=20):
-    """Train throughput: full fwd+bwd+adamw update, jitted."""
+def bench_train(cfm, batch=8, seq_len=SEQ_LEN):
+    """Train throughput: full fwd+bwd+adamw update; K-step scan differential."""
     params = cfm.init_params(jax.random.PRNGKey(0), seq_len=seq_len, batch=2)
     opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adamw(1e-4))
     opt_state = opt.init(params)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, seq_len, 128))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, seq_len, LATENT_DIM))
     ids = jax.random.randint(jax.random.PRNGKey(2), (batch, seq_len), 0, 500)
 
-    @jax.jit
-    def step(params, opt_state, rng):
-        loss, grads = jax.value_and_grad(cfm.loss_fn)(
-            params, x, rng, cond_token_ids=ids
-        )
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def multi(K):
+        @jax.jit
+        def run(params, opt_state, rng):
+            def body(carry, key):
+                p, o = carry
+                loss, grads = jax.value_and_grad(cfm.loss_fn)(
+                    p, x, key, cond_token_ids=ids
+                )
+                updates, o = opt.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
 
-    rng = jax.random.PRNGKey(3)
-    params, opt_state, loss = step(params, opt_state, rng)  # compile
-    loss.block_until_ready()
+            keys = jax.random.split(rng, K)
+            _, losses = jax.lax.scan(body, (params, opt_state), keys)
+            return losses[-1]
 
-    t0 = time.perf_counter()
+        return run
+
+    best = {}
+    for K in (2, 22):
+        f = multi(K)
+        ts = []
+        for rep in range(3):
+            if rep == 0:
+                float(f(params, opt_state, jax.random.PRNGKey(100 + K)))  # compile
+            t0 = time.perf_counter()
+            float(f(params, opt_state, jax.random.PRNGKey(200 + 31 * rep + K)))
+            ts.append(time.perf_counter() - t0)
+        best[K] = min(ts)
+    dt = (best[22] - best[2]) / 20
+    return 1.0 / dt, params
+
+
+def bench_dispatch_overhead(iters=5):
+    """Round-trip of a trivial jitted program with a host fetch."""
+    f = jax.jit(lambda x: (x * 2.0).sum())
+    float(f(jnp.ones((8,))))  # compile
+    ts = []
     for i in range(iters):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, sub)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    return iters / dt, params
+        x = jnp.full((8,), float(i + 1))
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
-def bench_sample_rtf(cfm, params, steps=3, cond_scale=1.3, iters=10):
-    """Sampling RTF: 10 s of 24 kHz audio = 750 Encodec frames (downsample 320)."""
+def bench_sample_rtf(cfm, params, steps=3, cond_scale=1.3, iters=8):
+    """Sampling RTF: 10 s of 24 kHz audio = 750 Encodec frames (downsample 320).
+
+    Per-request latency with a host fetch; rng varies per call."""
     seq_len = 750
     audio_seconds = seq_len * 320 / 24000.0
 
-    cond = jax.random.normal(jax.random.PRNGKey(4), (1, seq_len, 128))
+    cond = jax.random.normal(jax.random.PRNGKey(4), (1, seq_len, LATENT_DIM))
     ids = jax.random.randint(jax.random.PRNGKey(5), (1, seq_len), 0, 500)
 
-    out = cfm.sample(
-        cond=cond, semantic_token_ids=ids, steps=steps, cond_scale=cond_scale,
-        decode_to_audio=False, params=params,
-    )
-    out.block_until_ready()  # compile
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    def one(i):
         out = cfm.sample(
             cond=cond, semantic_token_ids=ids, steps=steps, cond_scale=cond_scale,
-            decode_to_audio=False, params=params,
+            decode_to_audio=False, params=params, rng=jax.random.PRNGKey(1000 + i),
         )
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        return float(out.sum())  # force execution + fetch
+
+    one(0)  # compile
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        one(i + 1)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
     return dt / audio_seconds, dt
 
 
@@ -100,6 +146,7 @@ def main():
     cfm = _build(dtype)
     train_sps, params = bench_train(cfm)
     rtf, latency = bench_sample_rtf(cfm, params)
+    dispatch_s = bench_dispatch_overhead()
 
     target_rtf = 0.05
     print(
@@ -110,11 +157,12 @@ def main():
                 "unit": "rtf (lower is better)",
                 "vs_baseline": round(target_rtf / rtf, 3),
                 "extra": {
-                    "train_steps_per_sec_dim512_depth24_bs8_seq768": round(train_sps, 3),
+                    "train_steps_per_sec_dim512_depth24_bs8_seq752plus16reg": round(train_sps, 3),
                     "sample_latency_s_750frames_steps3_cfg": round(latency, 4),
+                    "dispatch_roundtrip_s": round(dispatch_s, 4),
                     "backend": jax.default_backend(),
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
-                    "note": "vs_baseline = north-star RTF target 0.05 / measured RTF (>1 beats target); reference publishes no numbers",
+                    "note": "vs_baseline = north-star RTF target 0.05 / measured RTF (>1 beats target); reference publishes no numbers; train steps/s is a K-step scan differential (pure on-chip time), RTF is per-request latency including dispatch",
                 },
             }
         )

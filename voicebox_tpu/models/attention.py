@@ -71,7 +71,8 @@ class Attention(nn.Module):
                 dropout_rng=self.make_rng("dropout"),
             )
         else:
-            out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash)
+            out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash,
+                         training=not deterministic)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

@@ -80,6 +80,7 @@ class VoiceBoxTrainer:
         seed: int = 0,
         bucket_multiple: int = 256,
         max_length: Optional[int] = None,
+        bucket_offset: Optional[int] = None,  # None = register-aligned auto
         drop_last: bool = False,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
@@ -159,6 +160,24 @@ class VoiceBoxTrainer:
         else:
             self.opt_state = self.optimizer.init(self.params)
 
+        # register-aware bucket grid: keep (frames + register tokens) on the
+        # 128 lane boundary — a 128-aligned *data* length plus registers lands
+        # on a misaligned tile that XLA pads 13% wider (see data.py). For raw-
+        # audio datasets the offset is expressed in samples via the codec's
+        # exact sample->frame ratio.
+        if bucket_offset is None:
+            reg = int(getattr(cfm_wrapper.voicebox, "num_register_tokens", 0) or 0)
+            codec = cfm_wrapper.voicebox.audio_enc_dec
+            raw_audio_ds = np.asarray(dataset[0]).ndim == 1
+            if raw_audio_ds and codec is not None:
+                ds_factor = int(codec.downsample_factor)
+                bucket_offset = reg * ds_factor
+                aligned_multiple = 128 * ds_factor
+                if bucket_multiple % aligned_multiple != 0:
+                    bucket_multiple = aligned_multiple
+            else:
+                bucket_offset = reg
+
         # data loaders (cycled infinitely, reference trainer.py:166-169)
         micro_bs = batch_size
         if mesh is not None:
@@ -169,10 +188,12 @@ class VoiceBoxTrainer:
         self.dl = DataLoader(
             self.ds, batch_size=micro_bs * grad_accum_every, shuffle=True, seed=seed,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
+            bucket_offset=bucket_offset,
         )
         self.valid_dl = DataLoader(
             self.valid_ds, batch_size=micro_bs, shuffle=True, seed=seed + 1,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
+            bucket_offset=bucket_offset,
         )
         self.dl_iter = self.dl.cycle()
         self.valid_dl_iter = self.valid_dl.cycle()

@@ -219,6 +219,7 @@ class VoiceBoxTrainer:
         self.checkpointer = make_checkpointer(checkpoint_backend, self.results_folder)
 
         self._metrics_path = self.results_folder / "metrics.jsonl"
+        self._loss_buffer: list = []
         self._rng = jax.random.PRNGKey(seed)
         self._train_step = self._build_train_step()
         self._valid_loss = jax.jit(
@@ -241,8 +242,8 @@ class VoiceBoxTrainer:
     def print(self, msg):
         print(msg, flush=True)
 
-    def _log_metrics(self, record: dict):
-        record = dict(record, step=self.steps, time=time.time())
+    def _log_metrics(self, record: dict, step: Optional[int] = None):
+        record = dict(record, step=self.steps if step is None else step, time=time.time())
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record, default=float) + "\n")
 
@@ -377,12 +378,18 @@ class VoiceBoxTrainer:
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, x, m, cond_ids, self._next_rng()
         )
-        loss = float(loss)
+        # keep the loss ON DEVICE: a float() fetch every step forces a
+        # device->host sync that serialises the dispatch pipeline (tens of ms
+        # per step on a remote/tunneled backend). Losses buffer as device
+        # arrays and are fetched together at the log boundary.
+        self._loss_buffer.append((steps, loss))
         logs = {"loss": loss}
 
         if steps % self.log_every == 0:
-            self.print(f"{steps}: loss: {loss:0.3f}")
-        self._log_metrics({"train_loss": loss})
+            for s, pending in self._loss_buffer:
+                self._log_metrics({"train_loss": float(pending)}, step=s)
+            self.print(f"{steps}: loss: {float(loss):0.3f}")
+            self._loss_buffer.clear()
 
         if steps % self.save_results_every == 0:
             wave, mask = next(self.valid_dl_iter)
@@ -412,5 +419,8 @@ class VoiceBoxTrainer:
             logs = self.train_step()
             log_fn(logs)
         self.print("training complete")
+        for s, pending in self._loss_buffer:  # flush buffered device losses
+            self._log_metrics({"train_loss": float(pending)}, step=s)
+        self._loss_buffer.clear()
         self.checkpointer.wait()  # flush async checkpoint writes
         self.cfm_wrapper.params = self.params

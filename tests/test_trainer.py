@@ -41,6 +41,44 @@ class TestData:
         assert mask.sum(-1).tolist() == [100, 180]
         assert (batch[0, 100:] == 0).all()
 
+    def test_collate_register_offset_grid(self):
+        # 740 frames + 16 registers: offset grid gives 752 (-> 768 model len,
+        # 6*128 aligned) instead of 768 (-> 784, padded to 896 tiles)
+        items = [np.ones((740, 4))]
+        batch, _ = collate_with_mask(items, bucket_multiple=256, bucket_offset=16)
+        assert batch.shape == (1, 752, 4)
+
+    def test_collate_offset_keeps_curated_lengths(self):
+        # items exactly on the legacy grid must NOT be pushed a bucket up:
+        # 256 + 16 registers pads to 384 tiles, far cheaper than a 496 bucket
+        items = [np.ones((256, 4))]
+        batch, _ = collate_with_mask(items, bucket_multiple=256, bucket_offset=16)
+        assert batch.shape == (1, 256, 4)
+
+    def test_collate_max_length_snaps_to_offset_grid(self):
+        # a legacy k*multiple cap must not reintroduce the misaligned shape
+        items = [np.ones((1000, 4))]
+        batch, mask = collate_with_mask(
+            items, bucket_multiple=256, bucket_offset=16, max_length=768
+        )
+        assert batch.shape == (1, 752, 4)
+        assert mask.sum() == 752  # curtailed to the cap
+
+    def test_trainer_auto_bucket_offset_latents(self, tmp_path, rng):
+        # latent dataset + 2 register tokens -> buckets at k*64 - 2
+        vb = VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,
+                      num_register_tokens=2, condition_on_text=False)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=16, batch=2)
+        data = [np.random.RandomState(i).randn(50, 8).astype(np.float32) for i in range(8)]
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=2, dataset=ArrayDataset(data), num_train_steps=1,
+            valid_frac=0.25, results_folder=str(tmp_path / "r"), use_mesh=False,
+            bucket_multiple=64,
+        )
+        wave, _ = next(tr.dl_iter)
+        assert (wave.shape[-2] + 2) % 64 == 0
+
     def test_collate_curtail(self):
         items = [np.ones((100,)), np.ones((80,))]
         batch, mask = collate_with_mask(items, pad_to_longest=False)

@@ -42,6 +42,9 @@ class AudioEncoderDecoder:
     sampling_rate: int
     latent_dim: int
     downsample_factor: int
+    # frames(n_samples) = n_samples // downsample_factor + frame_offset;
+    # consumed by register-aligned bucketing (training/trainer.py)
+    frame_offset: int = 0
 
     def encode(self, audio: jax.Array) -> jax.Array:
         raise NotImplementedError
@@ -79,6 +82,11 @@ class MelVoco(AudioEncoderDecoder):
     @property
     def downsample_factor(self) -> int:
         return self.hop_length
+
+    @property
+    def frame_offset(self) -> int:
+        # center=True STFT framing yields n // hop + 1 frames
+        return 1
 
     @property
     def latent_dim(self) -> int:

@@ -18,9 +18,11 @@ Semantics mirror attend.py:100-137:
     attend.py:76-80 — with qk_norm the caller passes the fixed scale 10).
 
 The Pallas forward is wired with a custom VJP whose backward runs the XLA
-path's gradient (training sequences here are short enough that XLA's fused
-backward is at speed-of-light; the Pallas kernel wins on the sampling path
-where only the forward runs).
+path's gradient. Dispatch policy (measured on v5e, see `attend`): XLA's fused
+attention is faster at every length that fits in HBM (<= 4096 here), so it
+serves training and short/medium-sequence sampling; the Pallas kernel's value
+is the memory profile — no (n x n) score materialisation — which makes it the
+only working path for long-sequence inference (XLA OOMs at n=8192).
 """
 
 from __future__ import annotations

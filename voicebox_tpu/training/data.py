@@ -141,31 +141,54 @@ def pad_to_multiple(length: int, multiple: int) -> int:
     return int(math.ceil(length / multiple)) * multiple
 
 
+def _bucket_target(max_len: int, multiple: int, offset: int, align: int) -> int:
+    """Pick the bucket length for a batch whose longest item is `max_len`.
+
+    Two candidate grids: the legacy `k*multiple` grid and the register-offset
+    `k*multiple - offset` grid. The winner is whichever yields the smaller
+    *effective model length* `pad(t + offset, align)` — i.e. what XLA will
+    actually tile after the model prepends its register tokens — tie-broken by
+    less data padding. This keeps datasets curated to exact `k*multiple`
+    lengths (e.g. items of exactly 256 frames) from being pushed a whole
+    bucket up, while still aligning variable-length data."""
+    t0 = pad_to_multiple(max_len, multiple)
+    if offset <= 0:
+        return t0
+    t1 = pad_to_multiple(max_len + offset, multiple) - offset
+    cost = lambda t: pad_to_multiple(t + offset, align)
+    return min((t0, t1), key=lambda t: (cost(t), t))
+
+
 def collate_with_mask(
     items: List[np.ndarray],
     bucket_multiple: int = 256,
     pad_to_longest: bool = True,
     max_length: Optional[int] = None,
     bucket_offset: int = 0,
+    align_multiple: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack variable-length items into (batch, mask).
 
     pad_to_longest=True: pad to the bucketed max length (static-shape analogue
     of data.py:85-87). False: curtail to the shortest (data.py:78-82).
 
-    `bucket_offset` shifts the bucket grid to `k*multiple - offset`. TPU
+    `bucket_offset` enables a second bucket grid at `k*multiple - offset`. TPU
     rationale: the transformer prepends `num_register_tokens` registers, so a
     128-aligned *data* length makes the *padded model* length misaligned —
     e.g. 768 frames + 16 registers = 784 tokens, which XLA pads to 896-wide
     tiles (measured 13% slower than an aligned 768 at dim 512/depth 12 on
-    v5e). Offsetting buckets by the register count keeps frames+registers on
-    the 128 lane boundary.
+    v5e). Each batch picks whichever grid gives the smaller post-register
+    tile-padded length (`align_multiple` = 128 lanes, scaled by the codec
+    downsample factor for raw-audio datasets) — see `_bucket_target`.
     """
     lengths = [it.shape[0] for it in items]
     if pad_to_longest:
-        target = pad_to_multiple(max(lengths) + bucket_offset, bucket_multiple) - bucket_offset
-        if max_length is not None:
-            target = min(target, max_length)
+        target = _bucket_target(max(lengths), bucket_multiple, bucket_offset, align_multiple)
+        if max_length is not None and target > max_length:
+            # snap the cap DOWN onto the offset grid so a legacy k*multiple
+            # max_length doesn't silently reintroduce the misaligned shape
+            snapped = (max_length + bucket_offset) // bucket_multiple * bucket_multiple - bucket_offset
+            target = snapped if 0 < snapped else max_length
     else:
         target = min(lengths)
 
@@ -194,6 +217,7 @@ class DataLoader:
         max_length: Optional[int] = None,
         drop_last: bool = False,
         bucket_offset: int = 0,
+        align_multiple: int = 128,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -204,6 +228,7 @@ class DataLoader:
         self.max_length = max_length
         self.drop_last = drop_last
         self.bucket_offset = bucket_offset
+        self.align_multiple = align_multiple
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
@@ -222,6 +247,7 @@ class DataLoader:
                 pad_to_longest=self.pad_to_longest,
                 max_length=self.max_length,
                 bucket_offset=self.bucket_offset,
+                align_multiple=self.align_multiple,
             )
 
     def cycle(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

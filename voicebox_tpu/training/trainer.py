@@ -164,17 +164,20 @@ class VoiceBoxTrainer:
         # 128 lane boundary — a 128-aligned *data* length plus registers lands
         # on a misaligned tile that XLA pads 13% wider (see data.py). For raw-
         # audio datasets the offset is expressed in samples via the codec's
-        # exact sample->frame ratio.
+        # sample->frame mapping (frames = n // downsample + frame_offset; the
+        # +1 of center=True STFT codecs is folded into the offset).
+        align_multiple = 128
         if bucket_offset is None:
             reg = int(getattr(cfm_wrapper.voicebox, "num_register_tokens", 0) or 0)
             codec = cfm_wrapper.voicebox.audio_enc_dec
             raw_audio_ds = np.asarray(dataset[0]).ndim == 1
             if raw_audio_ds and codec is not None:
                 ds_factor = int(codec.downsample_factor)
-                bucket_offset = reg * ds_factor
-                aligned_multiple = 128 * ds_factor
-                if bucket_multiple % aligned_multiple != 0:
-                    bucket_multiple = aligned_multiple
+                frame_off = int(getattr(codec, "frame_offset", 0))
+                bucket_offset = (reg + frame_off) * ds_factor
+                align_multiple = 128 * ds_factor
+                if bucket_multiple % align_multiple != 0:
+                    bucket_multiple = align_multiple
             else:
                 bucket_offset = reg
 
@@ -188,12 +191,12 @@ class VoiceBoxTrainer:
         self.dl = DataLoader(
             self.ds, batch_size=micro_bs * grad_accum_every, shuffle=True, seed=seed,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
-            bucket_offset=bucket_offset,
+            bucket_offset=bucket_offset, align_multiple=align_multiple,
         )
         self.valid_dl = DataLoader(
             self.valid_ds, batch_size=micro_bs, shuffle=True, seed=seed + 1,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
-            bucket_offset=bucket_offset,
+            bucket_offset=bucket_offset, align_multiple=align_multiple,
         )
         self.dl_iter = self.dl.cycle()
         self.valid_dl_iter = self.valid_dl.cycle()
@@ -250,6 +253,18 @@ class VoiceBoxTrainer:
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _flush_losses(self) -> Optional[float]:
+        """Fetch all buffered device losses in ONE transfer and write them to
+        metrics.jsonl; returns the most recent loss (or None if empty)."""
+        if not self._loss_buffer:
+            return None
+        steps_, vals = zip(*self._loss_buffer)
+        vals = np.asarray(jnp.stack(vals))  # single device->host transfer
+        for s, v in zip(steps_, vals):
+            self._log_metrics({"train_loss": float(v)}, step=s)
+        self._loss_buffer.clear()
+        return float(vals[-1])
 
     # ------------------------------------------------------------------
     # jitted train step: grad-accum scan + SPMD data parallelism
@@ -381,15 +396,13 @@ class VoiceBoxTrainer:
         # keep the loss ON DEVICE: a float() fetch every step forces a
         # device->host sync that serialises the dispatch pipeline (tens of ms
         # per step on a remote/tunneled backend). Losses buffer as device
-        # arrays and are fetched together at the log boundary.
+        # arrays and are fetched together (one transfer) at the log boundary;
+        # logs["loss"] is therefore a device array, not a Python float.
         self._loss_buffer.append((steps, loss))
         logs = {"loss": loss}
 
         if steps % self.log_every == 0:
-            for s, pending in self._loss_buffer:
-                self._log_metrics({"train_loss": float(pending)}, step=s)
-            self.print(f"{steps}: loss: {float(loss):0.3f}")
-            self._loss_buffer.clear()
+            self.print(f"{steps}: loss: {self._flush_losses():0.3f}")
 
         if steps % self.save_results_every == 0:
             wave, mask = next(self.valid_dl_iter)
@@ -401,6 +414,7 @@ class VoiceBoxTrainer:
             self._log_metrics({"valid_loss": valid_loss})
 
         if steps % self.save_model_every == 0:
+            self._flush_losses()  # metrics durability matches checkpoints
             model_path = str(self.results_folder / f"voicebox.{steps}.ckpt")
             self.save(model_path)
             self.print(f"{steps}: saving model to {str(self.results_folder)}")
@@ -415,12 +429,16 @@ class VoiceBoxTrainer:
         return flat(x), flat(m), flat(ids)
 
     def train(self, log_fn=noop):
-        while self.steps < self.num_train_steps:
-            logs = self.train_step()
-            log_fn(logs)
+        # an explicit log_fn keeps the old contract (a Python float per step)
+        # at the cost of a per-step fetch; the default path stays async
+        explicit_log = log_fn is not noop
+        try:
+            while self.steps < self.num_train_steps:
+                logs = self.train_step()
+                if explicit_log:
+                    log_fn({**logs, "loss": float(logs["loss"])})
+        finally:
+            self._flush_losses()  # crash/interrupt-safe up to the last step
         self.print("training complete")
-        for s, pending in self._loss_buffer:  # flush buffered device losses
-            self._log_metrics({"train_loss": float(pending)}, step=s)
-        self._loss_buffer.clear()
         self.checkpointer.wait()  # flush async checkpoint writes
         self.cfm_wrapper.params = self.params

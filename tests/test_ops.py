@@ -175,6 +175,60 @@ class TestAttention:
         np.testing.assert_allclose(out, reference_attention(q, k, v), rtol=1e-5)
 
 
+class TestFlashKernelInterpret:
+    """Pallas flash kernels run in interpret mode on CPU — math parity with
+    the XLA path (TPU-compiled parity is exercised separately on hardware:
+    rel err <= 0.7% bf16, masked dk/dv exactly zero, n=8192 grads finite)."""
+
+    def _inputs(self, rng, n=200, d=32):
+        ks = jax.random.split(rng, 4)
+        q = jax.random.normal(ks[0], (2, 2, n, d))
+        k = jax.random.normal(ks[1], (2, 2, n, d))
+        v = jax.random.normal(ks[2], (2, 2, n, d))
+        mask = jax.random.bernoulli(ks[3], 0.8, (2, n)).at[:, :4].set(True)
+        return q, k, v, mask
+
+    def test_forward_parity(self, rng):
+        from voicebox_tpu.ops.flash_attention import _flash_forward
+
+        q, k, v, mask = self._inputs(rng)
+        out = _flash_forward(q, k, v, mask, scale=None or q.shape[-1] ** -0.5,
+                             block_q=128, block_k=128, interpret=True)
+        ref = reference_attention(q, k, v, mask)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_backward_parity(self, rng):
+        from voicebox_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+        q, k, v, mask = self._inputs(rng)
+        scale = q.shape[-1] ** -0.5
+        out, lse = _flash_forward(q, k, v, mask, scale, 128, 128,
+                                  return_lse=True, interpret=True)
+        do = jax.random.normal(jax.random.PRNGKey(7), out.shape)
+        dq, dk, dv = _flash_backward(q, k, v, mask, out, lse, do, scale,
+                                     128, 128, interpret=True)
+        _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v, mask, scale),
+                         q, k, v)
+        rq, rk, rv = vjp(do)
+        np.testing.assert_allclose(dq, rq, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(dk, rk, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(dv, rv, rtol=2e-3, atol=2e-4)
+
+    def test_backward_masked_keys_zero_grad(self, rng):
+        from voicebox_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+        q, k, v, _ = self._inputs(rng, n=160)
+        mask = jnp.zeros((2, 160), bool).at[:, :100].set(True)
+        scale = q.shape[-1] ** -0.5
+        out, lse = _flash_forward(q, k, v, mask, scale, 128, 128,
+                                  return_lse=True, interpret=True)
+        do = jnp.ones_like(out)
+        _, dk, dv = _flash_backward(q, k, v, mask, out, lse, do, scale,
+                                    128, 128, interpret=True)
+        assert np.abs(np.asarray(dk[:, :, 100:])).max() == 0.0
+        assert np.abs(np.asarray(dv[:, :, 100:])).max() == 0.0
+
+
 class TestTsit5:
     def test_fixed_grid_high_order(self):
         from voicebox_tpu.ops.ode import odeint_tsit5

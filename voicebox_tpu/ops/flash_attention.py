@@ -17,12 +17,13 @@ Semantics mirror attend.py:100-137:
   - `scale` overrides the default `dim_head ** -0.5` (the qk-norm trick at
     attend.py:76-80 — with qk_norm the caller passes the fixed scale 10).
 
-The Pallas forward is wired with a custom VJP whose backward runs the XLA
-path's gradient. Dispatch policy (measured on v5e, see `attend`): XLA's fused
-attention is faster at every length that fits in HBM (<= 4096 here), so it
-serves training and short/medium-sequence sampling; the Pallas kernel's value
-is the memory profile — no (n x n) score materialisation — which makes it the
-only working path for long-sequence inference (XLA OOMs at n=8192).
+The Pallas forward saves the per-row log-sum-exp and is paired with a
+blockwise FlashAttention-2 backward (`_flash_backward`: a dQ kernel gridded
+over query blocks and a dK/dV kernel gridded over key blocks), so neither
+direction ever materialises the (n x n) matrix. Dispatch policy (measured on
+v5e, see `attend`): XLA's fused attention is faster at every length that fits
+in HBM (<= 4096 here); the Pallas pair owns the long-sequence regime for both
+training and inference (XLA OOMs at n=8192 in either direction).
 """
 
 from __future__ import annotations
@@ -81,12 +82,19 @@ def reference_attention(
 # ---------------------------------------------------------------------------
 
 
+# `lse` below is the per-query-row log-sum-exp of the (scaled, masked) logits;
+# saving it lets the backward pass recompute the softmax blockwise without
+# ever materialising the (n x n) probability matrix (FlashAttention-2 scheme).
+_BIG_LSE = 1e30
+
+
 def _flash_kernel(
     q_ref,  # (1, 1, block_q, d)
     k_ref,  # (1, 1, kv_len, d)
     v_ref,  # (1, 1, kv_len, d)
     mask_ref,  # (1, 1, kv_len) int32  (1 = keep)
     o_ref,  # (1, 1, block_q, d)
+    lse_ref,  # (1, 1, 1, block_q) f32
     *,
     scale: float,
     block_k: int,
@@ -131,18 +139,128 @@ def _flash_kernel(
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
 
-    # fully-masked rows produce l == 0; emit zeros rather than NaN
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0, :, :] = (acc / l[:, None]).astype(o_ref.dtype)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0, :, :] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    # degenerate fully-masked rows have m == -inf-ish; a huge lse makes the
+    # backward's exp(s - lse) vanish so they get zero gradient
+    lse = m + jnp.log(l_safe)
+    lse_ref[0, 0, 0, :] = jnp.where(jnp.isfinite(lse), lse, _BIG_LSE)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref,  # (1, 1, block_q, d)
+    k_ref,  # (1, 1, kv_len, d)
+    v_ref,  # (1, 1, kv_len, d)
+    mask_ref,  # (1, 1, kv_len) int32
+    do_ref,  # (1, 1, block_q, d)
+    lse_ref,  # (1, 1, 1, block_q) f32
+    delta_ref,  # (1, 1, 1, block_q) f32  — rowsum(dO * O)
+    dq_ref,  # (1, 1, block_q, d)
+    *,
+    scale: float,
+    block_k: int,
+    kv_len: int,
+):
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0, :, :]
+    do = do_ref[0, 0, :, :]
+    lse = lse_ref[0, 0, 0, :]
+    delta = delta_ref[0, 0, 0, :]
+
+    def body(i, acc):
+        start = i * block_k
+        k_blk = k_ref[0, 0, pl.ds(start, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(start, block_k), :]
+        # cast to f32 BEFORE expanding: Mosaic can't insert a minor dim on i1
+        keep = (mask_ref[0, 0, pl.ds(start, block_k)] != 0).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # no -inf fill needed: masked columns are zeroed on p directly
+        p = jnp.exp(s - lse[:, None]) * keep[None, :]
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta[:, None]) * scale
+        return acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    acc = jax.lax.fori_loop(0, pl.cdiv(kv_len, block_k), body, acc0)
+    dq_ref[0, 0, :, :] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref,  # (1, 1, q_len, d)
+    k_ref,  # (1, 1, block_kv, d)
+    v_ref,  # (1, 1, block_kv, d)
+    mask_ref,  # (1, 1, block_kv) int32
+    do_ref,  # (1, 1, q_len, d)
+    lse_ref,  # (1, 1, 1, q_len) f32
+    delta_ref,  # (1, 1, 1, q_len) f32
+    dk_ref,  # (1, 1, block_kv, d)
+    dv_ref,  # (1, 1, block_kv, d)
+    *,
+    scale: float,
+    block_q: int,
+    q_len: int,
+):
+    block_kv, d = k_ref.shape[2], k_ref.shape[3]
+    k_blk = k_ref[0, 0, :, :]
+    v_blk = v_ref[0, 0, :, :]
+    # f32 before the minor-dim expansion (Mosaic i1 reshape limitation)
+    keep = (mask_ref[0, 0, :] != 0).astype(jnp.float32)  # (block_kv,)
+
+    def body(i, carry):
+        acc_dk, acc_dv = carry
+        start = i * block_q
+        q_i = q_ref[0, 0, pl.ds(start, block_q), :]
+        do_i = do_ref[0, 0, pl.ds(start, block_q), :]
+        lse_i = lse_ref[0, 0, 0, pl.ds(start, block_q)]
+        delta_i = delta_ref[0, 0, 0, pl.ds(start, block_q)]
+
+        s_t = jax.lax.dot_general(
+            k_blk, q_i, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (block_kv, block_q)
+        p_t = jnp.exp(s_t - lse_i[None, :]) * keep[:, None]
+
+        acc_dv = acc_dv + jax.lax.dot_general(
+            p_t.astype(do_i.dtype), do_i,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_t = jax.lax.dot_general(
+            v_blk, do_i, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds_t = p_t * (dp_t - delta_i[None, :]) * scale
+        acc_dk = acc_dk + jax.lax.dot_general(
+            ds_t.astype(q_i.dtype), q_i,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_dk, acc_dv
+
+    acc0 = jnp.zeros((block_kv, d), jnp.float32)
+    acc_dk, acc_dv = jax.lax.fori_loop(0, pl.cdiv(q_len, block_q), body, (acc0, acc0))
+    dk_ref[0, 0, :, :] = acc_dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = acc_dv.astype(dv_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_forward(q, k, v, mask, scale, block_q, block_k):
+def _pad_operands(q, k, v, mask, block_q, block_k):  # noqa: D103
     b, h, n_q, d = q.shape
     kv_len = k.shape[2]
 
@@ -161,10 +279,18 @@ def _flash_forward(q, k, v, mask, scale, block_q, block_k):
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, 0)))
+    return qp, kp, vp, mask_i, block_q, block_k
+
+
+def _flash_forward(q, k, v, mask, scale, block_q, block_k, return_lse=False,
+                   interpret=False):
+    b, h, n_q, d = q.shape
+    qp, kp, vp, mask_i, block_q, block_k = _pad_operands(q, k, v, mask, block_q, block_k)
+    n_q_pad, kv_pad = qp.shape[2], kp.shape[2]
 
     grid = (b, h, n_q_pad // block_q)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, block_k=block_k, kv_len=kv_pad
         ),
@@ -177,18 +303,94 @@ def _flash_forward(q, k, v, mask, scale, block_q, block_k):
             pl.BlockSpec((1, 1, kv_pad, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, 1, kv_pad), lambda ib, ih, iq: (ib, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda ib, ih, iq: (ib, ih, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, n_q_pad), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_q_pad * kv_pad * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * n_q_pad * kv_pad,
         ),
+        interpret=interpret,
     )(qp, kp, vp, mask_i)
 
-    return out[:, :, :n_q, :]
+    out = out[:, :, :n_q, :]
+    if return_lse:
+        return out, lse[:, :, :, :n_q]  # (b, h, 1, n_q)
+    return out
+
+
+def _flash_backward(q, k, v, mask, out, lse, do, scale, block_q, block_k,
+                    interpret=False):
+    """Blockwise FlashAttention-2 backward: recomputes the softmax from the
+    saved log-sum-exp, never materialising the (n x n) matrix. Two kernels:
+    one gridded over query blocks (dQ), one over key/value blocks (dK, dV)."""
+    b, h, n_q, d = q.shape
+    qp, kp, vp, mask_i, block_q, block_k = _pad_operands(q, k, v, mask, block_q, block_k)
+    n_q_pad, kv_pad = qp.shape[2], kp.shape[2]
+
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
+    outp = jnp.pad(out, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
+    # padded query rows get a huge lse -> exp(s - lse) == 0 -> no contribution
+    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, 0), (0, n_q_pad - n_q)),
+                   constant_values=_BIG_LSE)  # (b, h, 1, n_q_pad)
+    delta = jnp.sum(
+        dop.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # (b, h, 1, n_q_pad)
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, i: (ib, ih, i, 0))
+    q_row_spec = pl.BlockSpec((1, 1, 1, block_q), lambda ib, ih, i: (ib, ih, 0, i))
+    q_full_spec = pl.BlockSpec((1, 1, n_q_pad, d), lambda ib, ih, i: (ib, ih, 0, 0))
+    q_full_row_spec = pl.BlockSpec((1, 1, 1, n_q_pad), lambda ib, ih, i: (ib, ih, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda ib, ih, i: (ib, ih, i, 0))
+    kv_full_spec = pl.BlockSpec((1, 1, kv_pad, d), lambda ib, ih, i: (ib, ih, 0, 0))
+    mask_blk_spec = pl.BlockSpec((1, 1, block_k), lambda ib, ih, i: (ib, 0, i))
+    mask_full_spec = pl.BlockSpec((1, 1, kv_pad), lambda ib, ih, i: (ib, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, block_k=block_k, kv_len=kv_pad
+        ),
+        grid=(b, h, n_q_pad // block_q),
+        in_specs=[q_spec, kv_full_spec, kv_full_spec, mask_full_spec,
+                  q_spec, q_row_spec, q_row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * n_q_pad * kv_pad * d,
+            bytes_accessed=(2 * qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * n_q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, mask_i, dop, lsep, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, block_q=block_q, q_len=n_q_pad
+        ),
+        grid=(b, h, kv_pad // block_k),
+        in_specs=[q_full_spec, kv_spec, kv_spec, mask_blk_spec,
+                  q_full_spec, q_full_row_spec, q_full_row_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, kv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, kv_pad, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * n_q_pad * kv_pad * d,
+            bytes_accessed=(2 * qp.size + 2 * kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * n_q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, mask_i, dop, lsep, delta)
+
+    kv_len = k.shape[2]
+    return dq[:, :, :n_q, :], dk[:, :, :kv_len, :], dv[:, :, :kv_len, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -208,14 +410,20 @@ def flash_attention(
 
 
 def _flash_fwd(q, k, v, mask, scale, block_q, block_k):
-    out = flash_attention(q, k, v, mask, scale, block_q, block_k)
-    return out, (q, k, v, mask)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _flash_forward(q, k, v, mask, scale, block_q, block_k,
+                              return_lse=True)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, residuals, g):
-    q, k, v, mask = residuals
-    _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v, mask, scale), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, mask, out, lse = residuals
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _flash_backward(
+        q, k, v, mask, out, lse, g, scale, block_q, block_k
+    )
     return dq, dk, dv, None
 
 
@@ -242,16 +450,18 @@ def attend(
     * XLA OOMs at n=8192 (the (b,h,n,n) f32 score matrix alone is 16 GB);
       the Pallas online-softmax kernel never materialises it and keeps
       running (~17 TF/s flat), so it owns the long-sequence regime.
-    * training always takes the XLA path under auto: its fused forward+VJP
-      beats Pallas-forward + recompute-backward (10.7 vs 6.4 train steps/s at
-      dim 512, depth 24, seq 768).
+    * the same applies to training at fitting lengths: XLA's fused
+      forward+VJP beats the Pallas pair (10.7 vs 6.4 train steps/s at dim 512,
+      depth 24, seq 768). Beyond the threshold the Pallas forward + blockwise
+      FlashAttention-2 backward (`_flash_backward`) is the only path that
+      trains at all — XLA's backward materialises the score matrix too.
+
+    `training` is accepted for call-site symmetry; the measured auto policy is
+    the same in both modes (length-based).
     """
     if use_flash is None:
         long_seq = k.shape[2] > 4096
-        use_flash = (
-            (not training) and long_seq
-            and jax.default_backend() in ("tpu", "axon")
-        )
+        use_flash = long_seq and jax.default_backend() in ("tpu", "axon")
     if use_flash:
         return flash_attention(q, k, v, mask, scale)
     return reference_attention(q, k, v, mask, scale)

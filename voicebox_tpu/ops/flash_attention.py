@@ -400,10 +400,14 @@ def flash_attention(
     v,
     mask=None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
 ):
-    """Pallas online-softmax attention. q,k,v: (b,h,n,d); mask: (b, kv) bool."""
+    """Pallas online-softmax attention. q,k,v: (b,h,n,d); mask: (b, kv) bool.
+
+    Default blocks are the measured v5e sweet spot at n=8192 (22.9 vs
+    17.1 TF/s for 256/512); 1024/1024 and 512/2048 exceed the 16M scoped-VMEM
+    budget."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_forward(q, k, v, mask, scale, block_q, block_k)

@@ -103,6 +103,37 @@ class TestVoiceBox:
         )
         assert out.shape == (2, 32, 64)
 
+    def test_lane_padding_is_equivalent(self, rng):
+        # the 128-lane alignment pad must not change the math: padded frames
+        # are masked out and sliced off, so outputs match the unpadded model
+        vb_pad = _cond(pad_to_lane_multiple=True)
+        vb_raw = _cond(pad_to_lane_multiple=False)
+        n = 37  # 37 + 4 registers = 41: forces a lane pad
+        x = jax.random.normal(rng, (2, n, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 30), 0, 50)
+        mask = jnp.arange(n)[None, :] < jnp.array([30, n])[:, None]
+        kw = dict(times=jnp.full((2,), 0.3), cond=x, cond_token_ids=ids,
+                  self_attn_mask=mask, cond_drop_prob=0.0)
+        params = vb_pad.init({"params": rng}, x, **kw)["params"]
+        out_pad = vb_pad.apply({"params": params}, x, **kw)
+        out_raw = vb_raw.apply({"params": params}, x, **kw)
+        assert out_pad.shape == out_raw.shape == (2, n, 64)
+        np.testing.assert_allclose(out_pad, out_raw, rtol=2e-4, atol=2e-5)
+
+    def test_lane_padding_loss_equivalent(self, rng):
+        vb_pad = _uncond(pad_to_lane_multiple=True)
+        vb_raw = _uncond(pad_to_lane_multiple=False)
+        n = 37
+        x = jax.random.normal(rng, (2, n, 64))
+        target = jax.random.normal(jax.random.PRNGKey(2), (2, n, 64))
+        cmask = jnp.arange(n)[None, :] < jnp.array([20, 30])[:, None]
+        kw = dict(times=jnp.full((2,), 0.3), cond=x, target=target,
+                  cond_mask=cmask, cond_drop_prob=0.0)
+        params = vb_pad.init({"params": rng}, x, **kw)["params"]
+        l_pad = vb_pad.apply({"params": params}, x, **kw)
+        l_raw = vb_raw.apply({"params": params}, x, **kw)
+        np.testing.assert_allclose(l_pad, l_raw, rtol=2e-5)
+
     def test_loss_is_masked_mean(self, rng):
         vb = _uncond()
         x = jax.random.normal(rng, (2, 16, 64))

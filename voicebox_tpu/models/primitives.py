@@ -34,9 +34,13 @@ __all__ = [
 
 
 def _l2norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize semantics: x / max(||x||_2, eps) over the last axis."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch F.normalize semantics: x / max(||x||_2, eps) over the last axis.
+
+    The clamp sits INSIDE the sqrt: sqrt's gradient at 0 is inf, and an
+    all-zero row (e.g. a lane-alignment pad frame through a zero-init bias)
+    would poison the whole backward pass with NaNs."""
+    sumsq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sumsq, eps * eps))
 
 
 class LearnedSinusoidalPosEmb(nn.Module):

@@ -62,6 +62,7 @@ class VoiceBox(nn.Module):
     p_drop_prob: float = 0.3  # p_drop in the paper
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
     condition_on_text: bool = True
+    pad_to_lane_multiple: bool = True  # 128-lane token-axis alignment (see __call__)
     remat: bool = False
     scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -207,6 +208,31 @@ class VoiceBox(nn.Module):
                 if self_attn_mask is not None:
                     self_attn_mask = interpolate_1d(self_attn_mask, seq_len)
 
+        # lane alignment: pad the token axis so seq_len + registers lands on a
+        # 128-lane tile boundary — XLA otherwise pads every attention tile up
+        # to 13% wider (measured on v5e, see training/data.py). Padded frames
+        # are masked out of attention/conv/loss and sliced off the output, so
+        # the math is identical to the unpadded call. Register-aligned data
+        # buckets make this a no-op on the training path.
+        n_unpadded = seq_len
+        lane_pad = 0
+        if self.pad_to_lane_multiple:
+            total = seq_len + int(self.num_register_tokens)
+            lane_pad = (-total) % 128
+            if lane_pad > 0:
+                pad3 = ((0, 0), (0, lane_pad), (0, 0))
+                x = jnp.pad(x, pad3)
+                cond = jnp.pad(cond, pad3)
+                if cond_emb is not None:
+                    cond_emb = jnp.pad(cond_emb, pad3)
+                if self_attn_mask is None:
+                    self_attn_mask = jnp.ones((batch, seq_len), dtype=bool)
+                self_attn_mask = jnp.pad(
+                    self_attn_mask.astype(bool), ((0, 0), (0, lane_pad))
+                )
+                cond_mask = jnp.pad(cond_mask, ((0, 0), (0, lane_pad)))
+                seq_len = seq_len + lane_pad
+
         # fuse source signal + text conditioning + audio conditioning
         to_concat = [t for t in (x, cond_emb, cond) if t is not None]
         embed = jnp.concatenate(to_concat, axis=-1)
@@ -248,6 +274,11 @@ class VoiceBox(nn.Module):
 
         dim_out = self.latent_dim
         x = nn.Dense(dim_out, use_bias=False, dtype=self.dtype, name="to_pred")(x)
+
+        if lane_pad > 0:  # slice the alignment pad back off
+            x = x[:, :n_unpadded]
+            cond_mask = cond_mask[:, :n_unpadded]
+            self_attn_mask = self_attn_mask[:, :n_unpadded]
 
         if target is None:
             return x

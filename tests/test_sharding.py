@@ -1,10 +1,11 @@
-"""Tests for FSDP/TP parameter-sharding rules on the 8-virtual-device mesh."""
+"""Tests for FSDP/TP parameter-sharding rules and sequence-parallel ring
+attention on the 8-virtual-device mesh."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
 from voicebox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
@@ -122,3 +123,98 @@ class TestShardedTraining:
         loss_sh = jax.jit(cfm.loss_fn)(sharded, x, key)
         np.testing.assert_allclose(np.asarray(loss_rep), np.asarray(loss_sh),
                                    rtol=2e-5)
+
+
+class TestRingAttention:
+    """Sequence-parallel ring attention over an 8-device 'seq' axis."""
+
+    def _mesh(self):
+        return Mesh(np.array(jax.devices()[:8]), ("seq",))
+
+    def _inputs(self, n=64, d=16, with_mask=True):
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        q = jax.random.normal(ks[0], (2, 2, n, d))
+        k = jax.random.normal(ks[1], (2, 2, n, d))
+        v = jax.random.normal(ks[2], (2, 2, n, d))
+        mask = None
+        if with_mask:
+            mask = jax.random.bernoulli(ks[3], 0.75, (2, n)).at[:, :2].set(True)
+        return q, k, v, mask
+
+    def _sharded(self, mesh, with_mask):
+        from voicebox_tpu.ops.ring_attention import ring_attention
+
+        spec = P(None, None, "seq", None)
+        mspec = P(None, "seq")
+        if with_mask:
+            return jax.shard_map(
+                lambda q, k, v, m: ring_attention(q, k, v, m, axis_name="seq"),
+                mesh=mesh, in_specs=(spec, spec, spec, mspec), out_specs=spec,
+            )
+        return jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, axis_name="seq"),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )
+
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_matches_full_attention(self, with_mask):
+        from voicebox_tpu.ops.flash_attention import reference_attention
+
+        q, k, v, mask = self._inputs(with_mask=with_mask)
+        mesh = self._mesh()
+        f = self._sharded(mesh, with_mask)
+        out = f(q, k, v, mask) if with_mask else f(q, k, v)
+        ref = reference_attention(q, k, v, mask)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_custom_scale(self):
+        from voicebox_tpu.ops.flash_attention import reference_attention
+        from voicebox_tpu.ops.ring_attention import ring_attention
+
+        q, k, v, _ = self._inputs(with_mask=False)
+        mesh = self._mesh()
+        spec = P(None, None, "seq", None)
+        f = jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, scale=10.0, axis_name="seq"),
+            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+        )
+        qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        np.testing.assert_allclose(
+            f(qn, kn, v), reference_attention(qn, kn, v, scale=10.0),
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_gradients_match_full_attention(self):
+        from voicebox_tpu.ops.flash_attention import reference_attention
+
+        q, k, v, mask = self._inputs()
+        mesh = self._mesh()
+        f = self._sharded(mesh, with_mask=True)
+        w = (jnp.arange(q.size, dtype=jnp.float32).reshape(q.shape) % 5) - 2
+
+        ring_grads = jax.grad(
+            lambda q, k, v: jnp.sum(f(q, k, v, mask) * w), argnums=(0, 1, 2)
+        )(q, k, v)
+        ref_grads = jax.grad(
+            lambda q, k, v: jnp.sum(reference_attention(q, k, v, mask) * w),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for rg, fg in zip(ring_grads, ref_grads):
+            np.testing.assert_allclose(rg, fg, rtol=2e-3, atol=2e-4)
+
+    def test_jit_with_sharded_inputs(self):
+        # the intended production use: jit + NamedSharding over the seq axis
+        from jax.sharding import NamedSharding
+
+        from voicebox_tpu.ops.flash_attention import reference_attention
+
+        q, k, v, _ = self._inputs(with_mask=False)
+        mesh = self._mesh()
+        spec = P(None, None, "seq", None)
+        sh = NamedSharding(mesh, spec)
+        qs, ks_, vs = (jax.device_put(t, sh) for t in (q, k, v))
+        f = jax.jit(self._sharded(mesh, with_mask=False))
+        out = f(qs, ks_, vs)
+        np.testing.assert_allclose(out, reference_attention(q, k, v),
+                                   rtol=2e-4, atol=2e-5)

@@ -9,5 +9,6 @@ from .interp import curtail_or_pad, interpolate_1d
 from .ode import odeint, odeint_euler, odeint_midpoint, odeint_rk4
 from .gateloop import gated_linear_recurrence
 from .flash_attention import attend, flash_attention, reference_attention
+from .ring_attention import ring_attention
 from .mas import maximum_path
 from .forward_sum import forward_sum_loss

@@ -1,6 +1,6 @@
 """Benchmark: the BASELINE.json primary metric — CFM train steps/sec/chip at
-dim=512, depth=24 — plus sampling RTF for a 10 s utterance (north-star target
-RTF <= 0.05 on v5e).
+dim=512, depth=24 — plus sampling RTF for a 10 s utterance INCLUDING the full
+vocoder decode (north-star target RTF <= 0.05 on v5e).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
@@ -112,8 +112,9 @@ def bench_dispatch_overhead(iters=5):
     return min(ts)
 
 
-def bench_sample_rtf(cfm, params, steps=3, cond_scale=1.3, iters=8):
-    """Sampling RTF: 10 s of 24 kHz audio = 750 Encodec frames (downsample 320).
+def bench_sample_rtf(cfm, params, codec, steps=3, cond_scale=1.3, iters=8):
+    """Sampling RTF: 10 s of 24 kHz audio = 750 Encodec frames (downsample 320),
+    including the full vocoder decode (RVQ quantize -> Vocos -> iSTFT).
 
     Per-request latency with a host fetch; rng varies per call."""
     seq_len = 750
@@ -123,20 +124,47 @@ def bench_sample_rtf(cfm, params, steps=3, cond_scale=1.3, iters=8):
     ids = jax.random.randint(jax.random.PRNGKey(5), (1, seq_len), 0, 500)
 
     def one(i):
-        out = cfm.sample(
+        latents = cfm.sample(
             cond=cond, semantic_token_ids=ids, steps=steps, cond_scale=cond_scale,
             decode_to_audio=False, params=params, rng=jax.random.PRNGKey(1000 + i),
         )
-        return float(out.sum())  # force execution + fetch
+        audio = codec.decode(latents)
+        assert audio.shape[-1] == seq_len * 320  # exactly 10 s out
+        return float(jnp.asarray(audio, jnp.float32).sum())  # force + fetch
 
-    one(0)  # compile
-    ts = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        one(i + 1)
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
-    return dt / audio_seconds, dt
+    def timed(f):
+        f(0)  # compile
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            f(i + 1)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = timed(one)
+
+    def latents_only(i):
+        out = cfm.sample(
+            cond=cond, semantic_token_ids=ids, steps=steps, cond_scale=cond_scale,
+            decode_to_audio=False, params=params, rng=jax.random.PRNGKey(2000 + i),
+        )
+        return float(out.sum())
+
+    dt_latents = timed(latents_only)
+    return dt / audio_seconds, dt, dt_latents / audio_seconds
+
+
+def _build_codec():
+    """Production-architecture EncodecVoco (upstream vocos-encodec-24khz
+    geometry: n_fft 1280 / hop 320); weights random — identical compute cost."""
+    from voicebox_tpu.models.codec import EncodecVoco
+    from voicebox_tpu.models.encodec import EncodecModel
+    from voicebox_tpu.models.vocos import Vocos
+
+    return EncodecVoco(
+        encodec=EncodecModel(),
+        vocos=Vocos.from_pretrained("charactr/vocos-encodec-24khz"),
+    )
 
 
 def main():
@@ -145,7 +173,7 @@ def main():
 
     cfm = _build(dtype)
     train_sps, params = bench_train(cfm)
-    rtf, latency = bench_sample_rtf(cfm, params)
+    rtf, latency, rtf_latents = bench_sample_rtf(cfm, params, _build_codec())
     dispatch_s = bench_dispatch_overhead()
 
     target_rtf = 0.05
@@ -158,7 +186,8 @@ def main():
                 "vs_baseline": round(target_rtf / rtf, 3),
                 "extra": {
                     "train_steps_per_sec_dim512_depth24_bs8_seq752plus16reg": round(train_sps, 3),
-                    "sample_latency_s_750frames_steps3_cfg": round(latency, 4),
+                    "sample_latency_s_750frames_steps3_cfg_incl_vocoder": round(latency, 4),
+                    "rtf_latents_only": round(rtf_latents, 5),
                     "dispatch_roundtrip_s": round(dispatch_s, 4),
                     "backend": jax.default_backend(),
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),

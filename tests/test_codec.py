@@ -75,6 +75,17 @@ class TestEncodecVoco:
         assert wav.shape[0] == 2 and wav.shape[1] == 1  # (b, 1, n)
         assert jnp.isfinite(wav).all()
 
+    def test_pretrained_encodec_vocos_duration_exact(self):
+        # upstream vocos-encodec-24khz runs n_fft 1280 / hop 320 — one hop per
+        # Encodec frame, so n frames MUST decode to exactly n*320 samples
+        # (regression: the class defaults 1024/256 decoded 10 s to 8 s)
+        v = Vocos.from_pretrained("charactr/vocos-encodec-24khz",
+                                  dim=64, intermediate_dim=128, num_layers=2)
+        codes = jax.random.randint(jax.random.PRNGKey(0), (1, 8, 6), 0, 1024)
+        feats = v.codes_to_features(codes)
+        wav = v.decode(feats, bandwidth_id=jnp.asarray([2]))
+        assert wav.shape == (1, 6 * 320)
+
 
 class TestResidualVQ:
     def test_quantization_reduces_residual(self, rng):

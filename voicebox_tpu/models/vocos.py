@@ -208,8 +208,12 @@ class Vocos:
         this environment) falls back to random init with the exact pretrained
         architecture for the known model names."""
         if path_or_name.endswith("vocos-encodec-24khz"):
+            # upstream config: n_fft 1280 / hop 320 — one hop per Encodec
+            # frame (downsample 320 at 24 kHz), so n frames -> n*320 samples
+            kwargs.setdefault("n_fft", 1280)
+            kwargs.setdefault("hop_length", 320)
             model = cls(input_channels=128, num_bandwidths=4, **kwargs)
-        else:  # vocos-mel-24khz
+        else:  # vocos-mel-24khz: n_fft 1024 / hop 256 (the class defaults)
             model = cls(input_channels=100, **kwargs)
         import os
 

@@ -38,7 +38,7 @@ SEQ_LEN = 752  # + 16 register tokens = 768 = 6 * 128
 LATENT_DIM = 128  # Encodec latent dim
 
 
-def _build(dtype):
+def _build(dtype, codec=None):
     from voicebox_tpu import VoiceBox
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
 
@@ -54,6 +54,7 @@ def _build(dtype):
         attn_qk_norm=True,
         condition_on_text=True,
         dtype=dtype,
+        audio_enc_dec=codec,
     )
     return ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
 
@@ -112,9 +113,10 @@ def bench_dispatch_overhead(iters=5):
     return min(ts)
 
 
-def bench_sample_rtf(cfm, params, codec, steps=3, cond_scale=1.3, iters=8):
+def bench_sample_rtf(cfm, params, steps=3, cond_scale=1.3, iters=8):
     """Sampling RTF: 10 s of 24 kHz audio = 750 Encodec frames (downsample 320),
-    including the full vocoder decode (RVQ quantize -> Vocos -> iSTFT).
+    including the full vocoder decode (RVQ quantize -> Vocos -> iSTFT) — the
+    sampler fuses it into ONE program, so a request is one dispatch.
 
     Per-request latency with a host fetch; rng varies per call."""
     seq_len = 750
@@ -124,11 +126,10 @@ def bench_sample_rtf(cfm, params, codec, steps=3, cond_scale=1.3, iters=8):
     ids = jax.random.randint(jax.random.PRNGKey(5), (1, seq_len), 0, 500)
 
     def one(i):
-        latents = cfm.sample(
+        audio = cfm.sample(
             cond=cond, semantic_token_ids=ids, steps=steps, cond_scale=cond_scale,
-            decode_to_audio=False, params=params, rng=jax.random.PRNGKey(1000 + i),
+            params=params, rng=jax.random.PRNGKey(1000 + i),
         )
-        audio = codec.decode(latents)
         assert audio.shape[-1] == seq_len * 320  # exactly 10 s out
         return float(jnp.asarray(audio, jnp.float32).sum())  # force + fetch
 
@@ -171,9 +172,9 @@ def main():
     on_tpu = jax.default_backend() in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    cfm = _build(dtype)
+    cfm = _build(dtype, codec=_build_codec())
     train_sps, params = bench_train(cfm)
-    rtf, latency, rtf_latents = bench_sample_rtf(cfm, params, _build_codec())
+    rtf, latency, rtf_latents = bench_sample_rtf(cfm, params)
     dispatch_s = bench_dispatch_overhead()
 
     target_rtf = 0.05

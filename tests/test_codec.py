@@ -173,3 +173,35 @@ class TestCodecWithCFM:
         cond = codec.encode(audio)
         wav = cfm.sample(cond=cond, steps=2)  # decode_to_audio=True by default
         assert wav.ndim == 2 and wav.shape[0] == 2
+
+
+class TestFusedSampleDecode:
+    """cfm.sample(decode_to_audio=True) fuses the vocoder into the sampler
+    program (one dispatch); output must equal the two-step path exactly."""
+
+    def test_fused_equals_two_step(self, encodec_voco):
+        from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+
+        vb = VoiceBox(dim_in=None, dim=64, depth=2, dim_head=16, heads=4,
+                      num_register_tokens=2, condition_on_text=False,
+                      audio_enc_dec=encodec_voco)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=20, batch=1)
+        cond = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 128))
+        rng = jax.random.PRNGKey(2)
+
+        audio_fused = cfm.sample(cond=cond, steps=2, rng=rng)
+        latents = cfm.sample(cond=cond, steps=2, rng=rng, decode_to_audio=False)
+        audio_two_step = encodec_voco.decode(latents)
+
+        assert audio_fused.shape == audio_two_step.shape
+        np.testing.assert_allclose(np.asarray(audio_fused),
+                                   np.asarray(audio_two_step), atol=1e-5)
+
+    def test_mel_decode_fn_matches_decode(self, mel_voco):
+        fn, params = mel_voco.decode_fn()
+        mel = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 100)) * 10.0
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fn)(params, mel)),
+            np.asarray(mel_voco.decode(mel)), atol=1e-5,
+        )

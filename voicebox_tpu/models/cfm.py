@@ -268,9 +268,17 @@ class ConditionalFlowMatcherWrapper:
 
     @functools.lru_cache(maxsize=8)
     def _build_sampler(self, steps: int, use_cfg: bool, has_ids: bool, has_attn_mask: bool,
-                       has_cond_mask: bool, method: str):
-        """Build + jit the full ODE solve for one static configuration."""
+                       has_cond_mask: bool, method: str, fuse_decode: bool = False):
+        """Build + jit the full ODE solve for one static configuration.
+
+        With `fuse_decode` the codec's vocoder runs INSIDE the same program
+        (ODE solve -> RVQ/mel -> Vocos -> iSTFT compiled together): one
+        dispatch per request instead of two — on a remote/tunneled backend
+        that halves request latency, locally it saves a host round-trip."""
         voicebox = self.voicebox
+        decode_fn = None
+        if fuse_decode:
+            decode_fn, _ = self.audio_enc_dec.decode_fn()
 
         def vector_field(params, t, x, cond, cond_token_ids, cond_mask,
                          self_attn_mask, cond_scale):
@@ -312,7 +320,7 @@ class ConditionalFlowMatcherWrapper:
 
         @jax.jit
         def sample_latents(params, y0, cond, cond_token_ids, cond_mask,
-                           self_attn_mask, cond_scale):
+                           self_attn_mask, cond_scale, codec_params=None):
             times = jnp.linspace(0.0, 1.0, steps)
 
             def fn(t, x):
@@ -322,6 +330,8 @@ class ConditionalFlowMatcherWrapper:
                 )
 
             y_final, _ = odeint(fn, y0, times, method=method)
+            if decode_fn is not None:
+                return decode_fn(codec_params, y_final)
             return y_final
 
         return sample_latents
@@ -419,6 +429,10 @@ class ConditionalFlowMatcherWrapper:
 
         y0 = jax.random.normal(rng, cond.shape, dtype=cond.dtype)
 
+        fuse_decode = (
+            decode_to_audio and not decode_to_codes and codec is not None
+            and hasattr(codec, "decode_fn")
+        )
         sampler = self._build_sampler(
             int(steps),
             bool(cond_scale != 1.0),
@@ -426,12 +440,16 @@ class ConditionalFlowMatcherWrapper:
             self_attn_mask is not None,
             cond_mask is not None,
             self.ode_method,
+            fuse_decode,
         )
+        codec_params = codec.decode_fn()[1] if fuse_decode else None
         sampled = sampler(
             params, y0, cond, cond_token_ids, cond_mask, self_attn_mask,
-            jnp.asarray(cond_scale, dtype=jnp.float32),
+            jnp.asarray(cond_scale, dtype=jnp.float32), codec_params,
         )
 
+        if fuse_decode:
+            return sampled  # decoded audio, one fused program
         if decode_to_codes and codec is not None:
             return codec.decode_to_codes(sampled)
         if not decode_to_audio or codec is None:

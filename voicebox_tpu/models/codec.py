@@ -117,6 +117,22 @@ class MelVoco(AudioEncoderDecoder):
             mel = db_to_amplitude(mel, ref=1.0, power=0.5)
         return self.vocos.decode(mel)
 
+    def decode_fn(self):
+        """(pure_fn, params): pure_fn(params, latents) -> audio. Lets callers
+        fuse the vocoder into their own jitted program (e.g. the CFM sampler
+        compiles ODE solve + vocoder as ONE program -> one dispatch per
+        request)."""
+        vocos = self.vocos
+        log = self.log
+
+        def fn(params, mel):
+            mel = mel.transpose(0, 2, 1)
+            if log:
+                mel = db_to_amplitude(mel, ref=1.0, power=0.5)
+            return vocos._decode_impl(params, mel, jnp.zeros((1,), jnp.int32))
+
+        return fn, vocos.params
+
 
 class EncodecVoco(AudioEncoderDecoder):
     def __init__(
@@ -160,3 +176,20 @@ class EncodecVoco(AudioEncoderDecoder):
             features, bandwidth_id=jnp.asarray([self.bandwidth_id])
         )
         return audio[:, None, :]  # (b, 1, n) — reference stacks to this shape
+
+    def decode_fn(self):
+        """(pure_fn, params): pure_fn(params, latents) -> audio (b, 1, n*320).
+        See MelVoco.decode_fn — enables the one-dispatch fused sample+decode."""
+        quantizer = self.encodec.quantizer
+        vocos = self.vocos
+        bw = self.bandwidth_id
+
+        def fn(params, latents):
+            _, codes, _ = quantizer.apply({"params": params["quantizer"]}, latents)
+            codes = codes.transpose(0, 2, 1)  # (b, q, n)
+            feats = vocos._codes_to_features_impl(params["vocos"], codes)
+            audio = vocos._decode_impl(params["vocos"], feats, jnp.asarray([bw]))
+            return audio[:, None, :]
+
+        return fn, {"quantizer": self.encodec.params["quantizer"],
+                    "vocos": vocos.params}

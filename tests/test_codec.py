@@ -31,7 +31,10 @@ class TestMelVoco:
     def test_encode_shape(self, mel_voco):
         audio = jnp.zeros((2, 24000))  # 1 s @ 24 kHz
         mel = mel_voco.encode(audio)
-        assert mel.shape == (2, 24000 // 160 + 1, 100)  # (b, frames, 100)
+        # hop defaults to the vocoder's hop (256) so encode/decode durations
+        # are consistent (reference quirk fixed: 160 vs 256 time-stretched
+        # decoded audio by 1.6x; its README todo acknowledges this)
+        assert mel.shape == (2, 24000 // 256 + 1, 100)  # (b, frames, 100)
 
     def test_latent_dim_fixed(self, mel_voco):
         # reference bug: latent_dim raised AttributeError (voicebox_pytorch.py:516)
@@ -39,7 +42,23 @@ class TestMelVoco:
 
     def test_downsample_factor(self, mel_voco):
         # reference raised NotImplementedError (voicebox_pytorch.py:511-512)
-        assert mel_voco.downsample_factor == 160
+        assert mel_voco.downsample_factor == mel_voco.vocos.hop_length == 256
+
+    def test_encode_decode_duration_consistent(self, mel_voco):
+        audio = jnp.zeros((1, 2560))
+        mel = mel_voco.encode(audio)
+        wav = mel_voco.decode(mel)
+        assert wav.shape[-1] == mel.shape[1] * mel_voco.downsample_factor
+
+    def test_explicit_hop_mismatch_warns(self):
+        import warnings
+
+        v = Vocos(input_channels=100, dim=64, intermediate_dim=128, num_layers=2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            codec = MelVoco(vocos=v, hop_length=160)  # reference's value
+        assert any("hop" in str(x.message) for x in w)
+        assert codec.downsample_factor == 160  # explicit override respected
 
     def test_decode_shape(self, mel_voco):
         mel = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 100))

@@ -63,7 +63,7 @@ class MelVoco(AudioEncoderDecoder):
         f_max: float = 8000,
         n_fft: int = 1024,
         win_length: int = 640,
-        hop_length: int = 160,
+        hop_length: Optional[int] = None,  # None = match the vocoder's hop
         pretrained_vocos_path: str = "charactr/vocos-mel-24khz",
         vocos: Optional[Vocos] = None,
     ):
@@ -72,11 +72,26 @@ class MelVoco(AudioEncoderDecoder):
         self.n_fft = n_fft
         self.f_max = f_max
         self.win_length = win_length
-        self.hop_length = hop_length
         self.sampling_rate = sampling_rate
         self.vocos = vocos if vocos is not None else Vocos.from_pretrained(
             pretrained_vocos_path
         )
+        # Reference quirk FIXED (its README todo acknowledges "MelVoco length
+        # settings"): the reference encodes at hop 160 but vocos-mel-24khz
+        # synthesises hop_length samples per frame (256), so 10 s of input
+        # decoded to 16 s of audio. Defaulting the analysis hop to the
+        # vocoder's hop keeps encode/decode durations exactly consistent;
+        # passing an explicit mismatched hop is allowed but warned about.
+        self.hop_length = hop_length if hop_length is not None else self.vocos.hop_length
+        if self.hop_length != self.vocos.hop_length:
+            import warnings
+
+            warnings.warn(
+                f"MelVoco hop_length {self.hop_length} != vocoder hop "
+                f"{self.vocos.hop_length}: decoded audio duration will be "
+                f"scaled by {self.vocos.hop_length / self.hop_length:.3f}x",
+                stacklevel=2,
+            )
         self._encode = jax.jit(self._encode_impl)
 
     @property
@@ -121,17 +136,21 @@ class MelVoco(AudioEncoderDecoder):
         """(pure_fn, params): pure_fn(params, latents) -> audio. Lets callers
         fuse the vocoder into their own jitted program (e.g. the CFM sampler
         compiles ODE solve + vocoder as ONE program -> one dispatch per
-        request)."""
-        vocos = self.vocos
-        log = self.log
+        request). The closure is cached per codec so repeat callers share one
+        function identity; params are re-read each call (current weights)."""
+        fn = getattr(self, "_decode_fn_cached", None)
+        if fn is None:
+            vocos = self.vocos
+            log = self.log
 
-        def fn(params, mel):
-            mel = mel.transpose(0, 2, 1)
-            if log:
-                mel = db_to_amplitude(mel, ref=1.0, power=0.5)
-            return vocos._decode_impl(params, mel, jnp.zeros((1,), jnp.int32))
+            def fn(params, mel):
+                mel = mel.transpose(0, 2, 1)
+                if log:
+                    mel = db_to_amplitude(mel, ref=1.0, power=0.5)
+                return vocos._decode_impl(params, mel, jnp.zeros((1,), jnp.int32))
 
-        return fn, vocos.params
+            self._decode_fn_cached = fn
+        return fn, self.vocos.params
 
 
 class EncodecVoco(AudioEncoderDecoder):
@@ -180,16 +199,19 @@ class EncodecVoco(AudioEncoderDecoder):
     def decode_fn(self):
         """(pure_fn, params): pure_fn(params, latents) -> audio (b, 1, n*320).
         See MelVoco.decode_fn — enables the one-dispatch fused sample+decode."""
-        quantizer = self.encodec.quantizer
-        vocos = self.vocos
-        bw = self.bandwidth_id
+        fn = getattr(self, "_decode_fn_cached", None)
+        if fn is None:
+            quantizer = self.encodec.quantizer
+            vocos = self.vocos
+            bw = self.bandwidth_id
 
-        def fn(params, latents):
-            _, codes, _ = quantizer.apply({"params": params["quantizer"]}, latents)
-            codes = codes.transpose(0, 2, 1)  # (b, q, n)
-            feats = vocos._codes_to_features_impl(params["vocos"], codes)
-            audio = vocos._decode_impl(params["vocos"], feats, jnp.asarray([bw]))
-            return audio[:, None, :]
+            def fn(params, latents):
+                _, codes, _ = quantizer.apply({"params": params["quantizer"]}, latents)
+                codes = codes.transpose(0, 2, 1)  # (b, q, n)
+                feats = vocos._codes_to_features_impl(params["vocos"], codes)
+                audio = vocos._decode_impl(params["vocos"], feats, jnp.asarray([bw]))
+                return audio[:, None, :]
 
+            self._decode_fn_cached = fn
         return fn, {"quantizer": self.encodec.params["quantizer"],
-                    "vocos": vocos.params}
+                    "vocos": self.vocos.params}

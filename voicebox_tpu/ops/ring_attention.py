@@ -83,40 +83,35 @@ def ring_attention(
 
     axis_size = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    has_mask = mask is not None  # trace-time: unmasked calls skip the mask
+    # carry, its per-step ppermute, and the where() over the score block
 
-    if mask is None:
-        # synthesized constant must be marked device-varying like a real shard
-        mask = jax.lax.pvary(
-            jnp.ones(q.shape[:1] + q.shape[2:3], dtype=bool), axis_name
-        )
-
-    def step(carry, _):
-        acc, m_run, l_run, k_blk, v_blk, mask_blk = carry
-
-        num, m_blk, l_blk = _block_stats(q, k_blk, v_blk, mask_blk, scale)
+    def merge(carry, block):
+        acc, m_run, l_run = carry
+        num, m_blk, l_blk = block
         m_new = jnp.maximum(m_run, m_blk)
         alpha = jnp.exp(m_run - m_new)
         beta = jnp.exp(m_blk - m_new)
         acc = acc * alpha[..., None] + num * beta[..., None]
-        l_run = l_run * alpha + l_blk * beta
+        return acc, m_new, l_run * alpha + l_blk * beta
 
-        # pass the k/v block to the ring neighbour for the next step
+    def step(carry, _):
+        stats, k_blk, v_blk, mask_blk = carry
+        # permute FIRST: the local block was consumed before the scan, so
+        # only axis_size-1 rotations happen (no dead final transfer)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
-        return (acc, m_new, l_run, k_blk, v_blk, mask_blk), None
+        if has_mask:
+            mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+        stats = merge(stats, _block_stats(q, k_blk, v_blk, mask_blk, scale))
+        return (stats, k_blk, v_blk, mask_blk), None
 
-    b, h, n_local, d = q.shape
-    # pvary: the initial accumulators are device-VARYING over the ring axis
-    # (each device's running stats differ), or scan's carry typing rejects
-    # the constant -> varying promotion under shard_map manual axes
-    acc0 = jax.lax.pvary(jnp.zeros((b, h, n_local, d), jnp.float32), axis_name)
-    m0 = jax.lax.pvary(jnp.full((b, h, n_local), _NEG_INF, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, n_local), jnp.float32), axis_name)
-
-    (acc, _, l, _, _, _), _ = jax.lax.scan(
-        step, (acc0, m0, l0, k, v, mask), None, length=axis_size
+    # step 0: the local block, outside the ring loop
+    stats0 = _block_stats(q, k, v, mask, scale)
+    (stats, _, _, _), _ = jax.lax.scan(
+        step, (stats0, k, v, mask), None, length=axis_size - 1
     )
+    acc, _, l = stats
 
     l = jnp.where(l == 0.0, 1.0, l)
     return (acc / l[..., None]).astype(q.dtype)

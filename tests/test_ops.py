@@ -175,6 +175,40 @@ class TestAttention:
         np.testing.assert_allclose(out, reference_attention(q, k, v), rtol=1e-5)
 
 
+class TestAttendAutoPolicy:
+    """The measured dispatch: XLA below the 4096-key threshold, Pallas above
+    (on TPU backends). CPU always takes XLA; the TPU branch is exercised by
+    monkeypatching the backend probe and intercepting the kernel entry."""
+
+    def _probe(self, monkeypatch, n, training):
+        import voicebox_tpu.ops.flash_attention as fa_mod
+
+        fa = __import__("sys").modules["voicebox_tpu.ops.flash_attention"]
+        calls = {}
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            fa, "flash_attention",
+            lambda q, k, v, m=None, s=None: calls.setdefault("flash", True) or q,
+        )
+        monkeypatch.setattr(
+            fa, "reference_attention",
+            lambda q, k, v, m=None, s=None: calls.setdefault("xla", True) or q,
+        )
+        q = jnp.zeros((1, 1, n, 8))
+        fa.attend(q, q, q, training=training)
+        return calls
+
+    def test_short_seq_takes_xla(self, monkeypatch):
+        assert self._probe(monkeypatch, 512, training=False) == {"xla": True}
+
+    def test_long_seq_takes_flash(self, monkeypatch):
+        assert self._probe(monkeypatch, 5000, training=False) == {"flash": True}
+
+    def test_long_seq_training_takes_flash(self, monkeypatch):
+        # FA2 backward makes Pallas the training path beyond the threshold too
+        assert self._probe(monkeypatch, 5000, training=True) == {"flash": True}
+
+
 class TestFlashKernelInterpret:
     """Pallas flash kernels run in interpret mode on CPU — math parity with
     the XLA path (TPU-compiled parity is exercised separately on hardware:

@@ -294,3 +294,29 @@ class TestOrbaxCheckpoint:
         a = jax.tree.leaves(tr.params)[0]
         b = jax.tree.leaves(tr2.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestTrainConfig:
+    def test_roundtrip_and_build(self, rng, tmp_path):
+        import json
+
+        from voicebox_tpu.training.config import MeshConfig, TrainConfig
+
+        cfg = TrainConfig(batch_size=2, num_train_steps=1, valid_frac=0.25,
+                          bucket_multiple=16, results_folder=str(tmp_path / "r"),
+                          use_mesh=False)
+        # serialisable and round-trips
+        d = json.loads(json.dumps(cfg.to_dict()))
+        assert TrainConfig.from_dict(d) == cfg
+
+        cfm = _make_cfm(rng)
+        ds = ArrayDataset([np.ones((16, 32), np.float32)] * 8)
+        tr = cfg.build(cfm, ds)
+        tr.train()
+        assert tr.steps == 1
+
+    def test_mesh_config_builds(self):
+        from voicebox_tpu.training.config import MeshConfig
+
+        mesh = MeshConfig(model_parallel=2).build()
+        assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.flash_attention import attend
+from ..ops.ring_attention import ring_attention, ring_attention_prefixed
 from .primitives import MultiheadRMSNorm, apply_rotary_pos_emb
 
 __all__ = ["Attention"]
@@ -31,6 +32,13 @@ class Attention(nn.Module):
     use_flash: Optional[bool] = None
     qk_norm: bool = False
     qk_norm_scale: float = 10.0
+    # sequence parallelism: when `seq_axis` names a mesh axis (module running
+    # inside `shard_map`), the score math runs as ring attention — the local
+    # k/v shard streams around the axis via ppermute, with the first
+    # `num_prefix` rows (register tokens) treated as a replicated global
+    # prefix (see ops/ring_attention.py::ring_attention_prefixed)
+    seq_axis: Optional[str] = None
+    num_prefix: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +69,22 @@ class Attention(nn.Module):
             k = apply_rotary_pos_emb(rotary_emb, k)
 
         scale = self.qk_norm_scale if self.qk_norm else None
-        if self.dropout > 0.0 and not deterministic:
+        if self.seq_axis is not None:
+            assert self.dropout == 0.0 or deterministic, (
+                "attention-weight dropout is not supported under sequence "
+                "parallelism (all reference configs default attn_dropout=0)"
+            )
+            if self.num_prefix > 0:
+                out_prefix, out_local = ring_attention_prefixed(
+                    q, k, v, num_prefix=self.num_prefix, mask=mask,
+                    scale=scale, axis_name=self.seq_axis,
+                )
+                out = jnp.concatenate([out_prefix, out_local], axis=2)
+            else:
+                out = ring_attention(
+                    q, k, v, mask=mask, scale=scale, axis_name=self.seq_axis
+                )
+        elif self.dropout > 0.0 and not deterministic:
             # attention-weight dropout forces the XLA path (training only;
             # all reference configs default attn_dropout=0)
             from ..ops.flash_attention import reference_attention

@@ -81,15 +81,42 @@ def apply_rotary_pos_emb(pos: jax.Array, t: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
+def _halo_exchange_1d(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Pad a sequence-sharded (b, n_local, d) tensor with `halo` frames from
+    each ring neighbour (zeros at the global edges, matching the zero 'SAME'
+    padding a full-sequence conv would see). Convolving the result with
+    padding='VALID' then equals the global conv's local output slice."""
+    assert x.shape[1] >= halo, (
+        f"local shard ({x.shape[1]} frames) shorter than the conv halo "
+        f"({halo}); use fewer shards or a smaller kernel"
+    )
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+    from_left = jax.lax.ppermute(x[:, -halo:], axis_name, fwd)
+    from_right = jax.lax.ppermute(x[:, :halo], axis_name, bwd)
+    from_left = jnp.where(idx == 0, 0.0, from_left)
+    from_right = jnp.where(idx == n - 1, 0.0, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
 class ConvPositionEmbed(nn.Module):
     """Depthwise 1-D conv positional module with pre/post masking + GELU
     (reference voicebox_pytorch.py:203-233). Output is residually added by
     callers. Uses NLC layout (feature-minor) which is the TPU-friendly layout
-    for `lax.conv_general_dilated`."""
+    for `lax.conv_general_dilated`.
+
+    Under sequence parallelism (`seq_axis` set, module inside `shard_map`)
+    the conv's receptive field crosses shard boundaries: a halo of
+    kernel_size//2 frames is exchanged with the ring neighbours via
+    `lax.ppermute` and the conv runs VALID over the widened block — exactly
+    the full-sequence 'SAME' conv, computed shard-locally."""
 
     dim: int
     kernel_size: int = 31
     groups: Optional[int] = None
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,10 +127,15 @@ class ConvPositionEmbed(nn.Module):
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
 
+        padding = "SAME"
+        if self.seq_axis is not None and self.kernel_size > 1:
+            x = _halo_exchange_1d(x, self.kernel_size // 2, self.seq_axis)
+            padding = "VALID"
+
         x = nn.Conv(
             features=self.dim,
             kernel_size=(self.kernel_size,),
-            padding="SAME",
+            padding=padding,
             feature_group_count=groups,
             dtype=self.dtype,
             name="dw_conv1d",

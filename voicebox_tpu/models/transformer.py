@@ -65,6 +65,8 @@ class _Block(nn.Module):
     adaptive_rmsnorm_cond_dim_in: Optional[int]
     attn_qk_norm: bool
     use_gateloop: bool
+    seq_axis: Optional[str]
+    num_prefix: int
     dtype: jnp.dtype
 
     @nn.compact
@@ -96,6 +98,8 @@ class _Block(nn.Module):
             dropout=self.attn_dropout,
             use_flash=self.use_flash,
             qk_norm=self.attn_qk_norm,
+            seq_axis=self.seq_axis,
+            num_prefix=self.num_prefix,
             dtype=self.dtype,
             name="attn",
         )(norm(attn_norm, x), mask=mask, rotary_emb=rotary_emb,
@@ -126,6 +130,8 @@ class _HalfStack(nn.Module):
     adaptive_rmsnorm_cond_dim_in: Optional[int]
     attn_qk_norm: bool
     use_gateloop: bool
+    seq_axis: Optional[str]
+    num_prefix: int
     dtype: jnp.dtype
     has_skip: bool
     skip_scale: float
@@ -153,6 +159,8 @@ class _HalfStack(nn.Module):
             adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
             attn_qk_norm=self.attn_qk_norm,
             use_gateloop=self.use_gateloop,
+            seq_axis=self.seq_axis,
+            num_prefix=self.num_prefix,
             dtype=self.dtype,
             name="block",
         )(x, mask, rotary_emb, norm_cond, self.deterministic)
@@ -178,6 +186,12 @@ class Transformer(nn.Module):
     rotary_theta: float = 50000.0
     remat: bool = False
     scan_layers: bool = False
+    # sequence parallelism: name of the mesh axis the MAIN token axis is
+    # sharded over (the module must then run inside `shard_map`). Register
+    # tokens are replicated on every shard and handled as a global prefix by
+    # ring attention; rotary positions are offset by the shard index. See
+    # parallel/sequence_parallel.py for the jit-able wrapper.
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -192,6 +206,12 @@ class Transformer(nn.Module):
         batch, seq_len, _ = x.shape
         num_reg = int(self.num_register_tokens)
         has_registers = num_reg > 0
+        if self.seq_axis is not None:
+            assert not self.use_gateloop_layers, (
+                "GateLoop's linear recurrence spans the whole sequence; it is "
+                "not wired for sequence parallelism (reference configs "
+                "default use_gateloop_layers=False)"
+            )
 
         if has_registers:
             registers = self.param(
@@ -204,6 +224,9 @@ class Transformer(nn.Module):
 
         # rotary table: registers sit at position -10000
         main_positions = jnp.arange(seq_len, dtype=jnp.int32)
+        if self.seq_axis is not None:
+            # seq_len here is the LOCAL shard; global position = shard offset
+            main_positions = main_positions + jax.lax.axis_index(self.seq_axis) * seq_len
         if has_registers:
             register_positions = jnp.full((num_reg,), -10000, dtype=jnp.int32)
             positions = jnp.concatenate([register_positions, main_positions])
@@ -251,6 +274,8 @@ class Transformer(nn.Module):
                 adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
                 attn_qk_norm=self.attn_qk_norm,
                 use_gateloop=self.use_gateloop_layers,
+                seq_axis=self.seq_axis,
+                num_prefix=num_reg if self.seq_axis is not None else 0,
                 dtype=self.dtype,
                 name=f"block_{ind}",
             )(x, mask, rotary_emb, adaptive_rmsnorm_cond, deterministic)
@@ -275,6 +300,10 @@ class Transformer(nn.Module):
             adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
             attn_qk_norm=self.attn_qk_norm,
             use_gateloop=self.use_gateloop_layers,
+            seq_axis=self.seq_axis,
+            num_prefix=(
+                int(self.num_register_tokens) if self.seq_axis is not None else 0
+            ),
             dtype=self.dtype,
             skip_scale=skip_scale,
             deterministic=deterministic,

@@ -65,6 +65,13 @@ class VoiceBox(nn.Module):
     pad_to_lane_multiple: bool = True  # 128-lane token-axis alignment (see __call__)
     remat: bool = False
     scan_layers: bool = False
+    # sequence parallelism: mesh axis the latent time axis is sharded over.
+    # The module must then run inside `shard_map` (see
+    # parallel/sequence_parallel.py): ring attention with replicated
+    # registers, halo-exchanged ConvPositionEmbed, psum'd loss reduction.
+    # Masks that involve global randomness (cond_mask span, CFG drop) must be
+    # computed OUTSIDE at full length and passed in explicitly.
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -166,6 +173,17 @@ class VoiceBox(nn.Module):
         elif times.ndim == 1 and times.shape[0] == 1:
             times = jnp.broadcast_to(times, (batch,))
 
+        if self.seq_axis is not None:
+            assert cond_mask is not None or not train, (
+                "under sequence parallelism the training span mask is global "
+                "randomness — build it at full length outside shard_map "
+                "(parallel/sequence_parallel.py does) and pass cond_mask"
+            )
+            assert cond_drop_mask is not None or cond_drop_prob == 0.0, (
+                "under sequence parallelism pass the CFG drop decision "
+                "explicitly via cond_drop_mask (per-batch, replicated)"
+            )
+
         # conditioning span mask: random during training, all-True at inference
         if cond_mask is None:
             if train:
@@ -202,7 +220,20 @@ class VoiceBox(nn.Module):
                 dtype=self.dtype, name="to_cond_emb",
             )(cond_ids)
 
-            if cond_emb.shape[-2] != seq_len:
+            if self.seq_axis is not None:
+                # token ids are replicated; stretch to the GLOBAL latent
+                # length, then slice this shard's window
+                assert self_attn_mask is None or self_attn_mask.shape[-1] == seq_len, (
+                    "under sequence parallelism self_attn_mask must already "
+                    "be at latent resolution, sharded like x"
+                )
+                n_global = seq_len * jax.lax.psum(1, self.seq_axis)
+                if cond_emb.shape[-2] != n_global:
+                    cond_emb = interpolate_1d(cond_emb.transpose(0, 2, 1), n_global)
+                    cond_emb = cond_emb.transpose(0, 2, 1)
+                start = jax.lax.axis_index(self.seq_axis) * seq_len
+                cond_emb = jax.lax.dynamic_slice_in_dim(cond_emb, start, seq_len, axis=1)
+            elif cond_emb.shape[-2] != seq_len:
                 cond_emb = interpolate_1d(cond_emb.transpose(0, 2, 1), seq_len)
                 cond_emb = cond_emb.transpose(0, 2, 1)
                 if self_attn_mask is not None:
@@ -216,7 +247,10 @@ class VoiceBox(nn.Module):
         # buckets make this a no-op on the training path.
         n_unpadded = seq_len
         lane_pad = 0
-        if self.pad_to_lane_multiple:
+        if self.pad_to_lane_multiple and self.seq_axis is None:
+            # (under SP, per-shard tail padding would scatter pad frames into
+            # the middle of the global sequence and skew rotary offsets —
+            # align the GLOBAL length outside shard_map instead)
             total = seq_len + int(self.num_register_tokens)
             lane_pad = (-total) % 128
             if lane_pad > 0:
@@ -242,6 +276,7 @@ class VoiceBox(nn.Module):
             dim=self.dim,
             kernel_size=self.conv_pos_embed_kernel_size,
             groups=self.conv_pos_embed_groups,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="conv_embed",
         )(x, mask=self_attn_mask) + x
@@ -267,6 +302,7 @@ class VoiceBox(nn.Module):
             use_gateloop_layers=self.use_gateloop_layers,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="transformer",
         )(x, mask=self_attn_mask, adaptive_rmsnorm_cond=time_emb,
@@ -286,10 +322,17 @@ class VoiceBox(nn.Module):
         # masked-mean MSE against the flow target (voicebox_pytorch.py:1099-1115)
         loss_mask = reduce_masks_with_and(cond_mask, self_attn_mask)
         if loss_mask is None:
+            if self.seq_axis is not None:  # equal shards: mean of means is exact
+                return jax.lax.pmean(jnp.mean(jnp.square(x - target)), self.seq_axis)
             return jnp.mean(jnp.square(x - target))
 
         loss = jnp.mean(jnp.square(x.astype(jnp.float32) - target.astype(jnp.float32)), axis=-1)
         loss = jnp.where(loss_mask, loss, 0.0)
         num = jnp.sum(loss, axis=-1)
-        den = jnp.clip(jnp.sum(loss_mask, axis=-1).astype(loss.dtype), 1e-5, None)
+        den = jnp.sum(loss_mask, axis=-1).astype(loss.dtype)
+        if self.seq_axis is not None:
+            # per-sample masked mean runs over the GLOBAL sequence
+            num = jax.lax.psum(num, self.seq_axis)
+            den = jax.lax.psum(den, self.seq_axis)
+        den = jnp.clip(den, 1e-5, None)
         return jnp.mean(num / den)

@@ -60,7 +60,8 @@ def reference_attention(
         scale = q.shape[-1] ** -0.5
 
     sim = jnp.einsum(
-        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        "bhid,bhjd->bhij", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
     ) * scale
 
     if mask is not None:

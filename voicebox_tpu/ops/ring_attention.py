@@ -41,7 +41,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "ring_attention_prefixed"]
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -50,9 +50,11 @@ def _block_stats(q, k, v, mask, scale):
     """Unnormalised attention of local q against one k/v block.
 
     Returns (num, m, l): num = sum_j exp(s_ij - m_i) v_j, m = row max,
-    l = row sum-of-exp — the flash-kernel accumulator triple, f32."""
+    l = row sum-of-exp — the flash-kernel accumulator triple, accumulated at
+    >= f32 (promoted with the input dtype so f64 runs stay exact)."""
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
     s = jnp.einsum(
-        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        "bhid,bhjd->bhij", q, k, preferred_element_type=acc_t
     ) * scale
     if mask is not None:
         s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
@@ -61,7 +63,7 @@ def _block_stats(q, k, v, mask, scale):
     l = jnp.sum(p, axis=-1)
     num = jnp.einsum(
         "bhij,bhjd->bhid", p.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     return num, m, l
 
@@ -115,3 +117,86 @@ def ring_attention(
 
     l = jnp.where(l == 0.0, 1.0, l)
     return (acc / l[..., None]).astype(q.dtype)
+
+
+def ring_attention_prefixed(
+    q: jax.Array,  # (b, h, p + n_local, d) — global prefix rows then local shard
+    k: jax.Array,  # (b, h, p + n_local, d)
+    v: jax.Array,  # (b, h, p + n_local, d)
+    num_prefix: int,
+    mask: Optional[jax.Array] = None,  # (b, p + n_local) — prefix rows must be True
+    scale: Optional[float] = None,
+    axis_name: str = "seq",
+) -> jax.Array:
+    """Ring attention with a REPLICATED global prefix (register tokens).
+
+    The full-model sequence-parallel wiring (PARITY.md §2.3): the reference's
+    Transformer prepends `num_register_tokens` learned registers that attend
+    globally (voicebox_pytorch.py:438-441). Under sequence parallelism the
+    main tokens are sharded over `axis_name` while the registers are
+    replicated on every device, concatenated at the front of each local shard.
+
+    Every query row (prefix and local alike) must see: the prefix keys (held
+    locally, identical on all devices — merged ONCE) plus every local key
+    block (streamed around the ring). Prefix-query outputs are computed
+    redundantly on every device; each device merges ring blocks starting from
+    its own shard, so their results differ by float-rounding merge order — a
+    `lax.pmean` re-synchronises them to bit-identical values (and its
+    transpose psums the gradient back to every device's copy, which the
+    replicated-input transpose then averages correctly).
+
+    Returns a pair `(out_prefix, out_local)` — (b, h, p, d) replicated and
+    (b, h, n_local, d) sharded — kept separate so shard_map's replication
+    tracking sees the pmean'd prefix as replicated; callers concatenate.
+    Local rows exactly match full attention on the gathered sequence.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    p = num_prefix
+    assert p > 0, "use ring_attention when there is no prefix"
+
+    pk, k_loc = k[:, :, :p], k[:, :, p:]
+    pv, v_loc = v[:, :, :p], v[:, :, p:]
+    if mask is not None:
+        pmask, mask_loc = mask[:, :p], mask[:, p:]
+    else:
+        pmask = mask_loc = None
+
+    axis_size = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    has_mask = mask_loc is not None
+
+    def merge(carry, block):
+        acc, m_run, l_run = carry
+        num, m_blk, l_blk = block
+        m_new = jnp.maximum(m_run, m_blk)
+        alpha = jnp.exp(m_run - m_new)
+        beta = jnp.exp(m_blk - m_new)
+        acc = acc * alpha[..., None] + num * beta[..., None]
+        return acc, m_new, l_run * alpha + l_blk * beta
+
+    def step(carry, _):
+        stats, k_blk, v_blk, mask_blk = carry
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        if has_mask:
+            mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+        stats = merge(stats, _block_stats(q, k_blk, v_blk, mask_blk, scale))
+        return (stats, k_blk, v_blk, mask_blk), None
+
+    # block 0: the replicated prefix keys — identical on every device, so it
+    # never travels the ring
+    stats0 = _block_stats(q, pk, pv, pmask, scale)
+    # block 1: the local key shard
+    stats0 = merge(stats0, _block_stats(q, k_loc, v_loc, mask_loc, scale))
+    (stats, _, _, _), _ = jax.lax.scan(
+        step, (stats0, k_loc, v_loc, mask_loc), None, length=axis_size - 1
+    )
+    acc, _, l = stats
+
+    l = jnp.where(l == 0.0, 1.0, l)
+    out = (acc / l[..., None]).astype(q.dtype)
+
+    # re-sync the redundantly-computed prefix rows (merge-order rounding)
+    out_prefix = jax.lax.pmean(out[:, :, :p], axis_name).astype(q.dtype)
+    return out_prefix, out[:, :, p:]

@@ -276,3 +276,40 @@ class TestVoiceBoxSP:
             assert diff_n <= 1e-2 * max(ref_n, 1e-3), (
                 f"grad leaf rel-norm diff {diff_n / max(ref_n, 1e-12):.3e}"
             )
+
+    @pytest.mark.parametrize("dp,sp_n", [(4, 2), (2, 4)])
+    def test_dp_sp_2d_mesh(self, dp, sp_n):
+        """SP composed with data parallelism: batch over 'data', time over
+        'seq', loss pmean'd over data — same value and grads as 1-device."""
+        plain, sp = _tiny_voicebox(condition_on_text=True)
+        mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(dp, sp_n),
+                     ("data", "seq"))
+        b, n = 4, 64
+        ks = jax.random.split(jax.random.PRNGKey(9), 6)
+        x1 = jax.random.normal(ks[0], (b, n, 24))
+        x0 = jax.random.normal(ks[1], (b, n, 24))
+        times = jax.random.uniform(ks[2], (b,))
+        cond_ids = jax.random.randint(ks[3], (b, 17), 0, 11)
+        rng = ks[4]
+        params = plain.init(
+            {"params": ks[5]}, x1, times=times, target=x1 - x0, cond=x1,
+            cond_mask=jnp.ones((b, n), bool),
+            cond_drop_mask=jnp.zeros((b,), bool), cond_drop_prob=0.0,
+            cond_token_ids=cond_ids,
+        )["params"]
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "seq"))
+        loss_1 = make_sp_loss_fn(sp, mesh1, batch_axis="data",
+                                 cond_drop_prob=0.25)
+        loss_2 = make_sp_loss_fn(sp, mesh2, batch_axis="data",
+                                 cond_drop_prob=0.25)
+        l1, g1 = jax.jit(jax.value_and_grad(loss_1))(
+            params, rng, x1, x0, times, None, cond_ids)
+        l2, g2 = jax.jit(jax.value_and_grad(loss_2))(
+            params, rng, x1, x0, times, None, cond_ids)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4)
+        for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            ref_n = np.linalg.norm(a.ravel())
+            diff_n = np.linalg.norm((b_ - a).ravel())
+            assert diff_n <= 1e-2 * max(ref_n, 1e-3)

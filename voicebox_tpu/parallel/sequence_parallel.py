@@ -109,6 +109,7 @@ def make_sp_loss_fn(
     mesh: Mesh,
     *,
     seq_axis: str = SEQ_AXIS,
+    batch_axis: Optional[str] = None,
     cond_drop_prob: float = 0.0,
 ):
     """Sequence-parallel CFM training loss.
@@ -118,33 +119,52 @@ def make_sp_loss_fn(
     (voicebox_pytorch.py:1397-1410, sigma=0), draws the span mask and CFG
     drop at FULL length from `rng`, then evaluates the masked-mean MSE under
     `shard_map`. Differentiable; jit it (or `jax.value_and_grad`) directly.
+
+    `batch_axis` composes SP with data parallelism on a 2-D mesh
+    (`Mesh(devs.reshape(dp, sp), (batch_axis, seq_axis))`): the batch dim
+    shards over `batch_axis`, each data replica runs the full seq ring, the
+    final loss is pmean'd over the batch axis — so `jax.grad` psums parameter
+    gradients over BOTH axes (the DP gradient allreduce the reference gets
+    from DDP, trainer.py:89-95, compiled onto ICI).
     """
     from ..ops.masks import mask_from_frac_lengths, prob_mask_like
 
     x3, m2, r = _specs(seq_axis)
+    if batch_axis is not None:
+        x3 = P(batch_axis, seq_axis, None)
+        m2 = P(batch_axis, seq_axis)
+        b1 = P(batch_axis)  # per-sample vectors: times, CFG drop
+        bn = P(batch_axis, None)  # per-sample token ids
+    else:
+        b1 = bn = r
     condition_on_text = sp_model.condition_on_text
+
+    def _finish(loss):
+        if batch_axis is not None:
+            loss = jax.lax.pmean(loss, batch_axis)
+        return loss
 
     if condition_on_text:
 
         def inner(params, w, times, flow, cond, cond_mask, drop_mask, mask, cond_ids):
-            return sp_model.apply(
+            return _finish(sp_model.apply(
                 {"params": params}, w, times=times, target=flow, cond=cond,
                 cond_mask=cond_mask, cond_drop_mask=drop_mask,
                 self_attn_mask=mask, cond_drop_prob=0.0,
                 cond_token_ids=cond_ids,
-            )
+            ))
 
-        in_specs = (r, x3, r, x3, x3, m2, r, m2, r)
+        in_specs = (r, x3, b1, x3, x3, m2, b1, m2, bn)
     else:
 
         def inner(params, w, times, flow, cond, cond_mask, drop_mask, mask):
-            return sp_model.apply(
+            return _finish(sp_model.apply(
                 {"params": params}, w, times=times, target=flow, cond=cond,
                 cond_mask=cond_mask, cond_drop_mask=drop_mask,
                 self_attn_mask=mask, cond_drop_prob=0.0,
-            )
+            ))
 
-        in_specs = (r, x3, r, x3, x3, m2, r, m2)
+        in_specs = (r, x3, b1, x3, x3, m2, b1, m2)
 
     sharded = jax.shard_map(inner, mesh=mesh, in_specs=in_specs, out_specs=r)
 

@@ -93,7 +93,7 @@ class TestTransformer:
 
 
 class TestScanLayers:
-    def _stack_params(self, params, depth):
+    def _stack_params(self, params, depth, unet=False):
         """Transplant unrolled block params into the scanned (stacked) layout."""
         import jax.numpy as jnp
 
@@ -106,23 +106,34 @@ class TestScanLayers:
             lambda *xs: jnp.stack(xs),
             *[params["params"][f"block_{i}"] for i in range(half, depth)],
         )
+        back_tree = {"block": back}
+        if unet:
+            back_tree["skip_combiner"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[params["params"][f"skip_combiner_{i}"]
+                  for i in range(half, depth)],
+            )
         return {
             "params": {
                 "layers_front": {"block": front},
-                "layers_back": {"block": back},
+                "layers_back": back_tree,
                 "final_norm": params["params"]["final_norm"],
             }
         }
 
-    def test_scan_matches_unrolled(self, rng):
+    @pytest.mark.parametrize("unet", [False, True])
+    def test_scan_matches_unrolled(self, rng, unet):
+        """Same math as the unrolled loop — including the U-Net skip stack
+        (the reference pushes each block's INPUT, voicebox_pytorch.py:459)."""
         depth = 4
-        unrolled = Transformer(dim=32, depth=depth, dim_head=8, heads=4)
-        scanned = Transformer(dim=32, depth=depth, dim_head=8, heads=4,
-                              scan_layers=True)
+        kw = dict(dim=32, depth=depth, dim_head=8, heads=4,
+                  use_unet_skip_connection=unet)
+        unrolled = Transformer(**kw)
+        scanned = Transformer(**kw, scan_layers=True)
         x = jax.random.normal(rng, (2, 10, 32))
         params = unrolled.init(rng, x)
         out_u = unrolled.apply(params, x)
-        out_s = scanned.apply(self._stack_params(params, depth), x)
+        out_s = scanned.apply(self._stack_params(params, depth, unet), x)
         np.testing.assert_allclose(out_u, out_s, rtol=2e-4, atol=2e-5)
 
     def test_scan_with_unet_and_registers(self, rng):

@@ -48,7 +48,26 @@ from .primitives import (
     rotary_frequencies,
 )
 
-__all__ = ["Transformer"]
+__all__ = ["Transformer", "pipeline_stage_modules"]
+
+
+def pipeline_stage_modules(transformer: "Transformer", deterministic: bool = True):
+    """(front, back) single-row `_HalfStack` modules whose param trees match
+    one row of `transformer`'s `scan_layers=True` stacks — the building block
+    `parallel/pipeline.py` applies per pipeline stage.
+
+    A free function (not a method): constructing submodules inside a module
+    method would register them as children of the unbound module."""
+    assert transformer.scan_layers, "pipeline stages use the scan param layout"
+    skip_scale = (
+        transformer.skip_connect_scale
+        if transformer.skip_connect_scale is not None
+        else 2**-0.5
+    )
+    cfg = transformer._half_stack_cfg(deterministic, skip_scale)
+    front = _HalfStack(**cfg, has_skip=False)
+    back = _HalfStack(**cfg, has_skip=transformer.use_unet_skip_connection)
+    return front, back
 
 
 class _Block(nn.Module):
@@ -117,7 +136,12 @@ class _Block(nn.Module):
 
 
 class _HalfStack(nn.Module):
-    """One scan step: [skip combine] + block. carry = x; scanned input = skip."""
+    """One scan step: [skip combine] + block. carry = x; scanned input = skip.
+
+    The stacked per-step output is the block INPUT (after any skip combine) —
+    that is what the reference pushes onto the skip stack
+    (voicebox_pytorch.py:459 pushes x before gateloop/attn/ff), so the back
+    half consuming `skips[::-1]` reproduces its pop order exactly."""
 
     dim: int
     dim_head: int
@@ -164,7 +188,7 @@ class _HalfStack(nn.Module):
             dtype=self.dtype,
             name="block",
         )(x, mask, rotary_emb, norm_cond, self.deterministic)
-        return y, y
+        return y, x
 
 
 class Transformer(nn.Module):
@@ -285,10 +309,8 @@ class Transformer(nn.Module):
 
         return RMSNorm(dim=self.dim, name="final_norm")(x)
 
-    def _scan_forward(self, x, mask, rotary_emb, norm_cond, deterministic,
-                      skip_scale):
-        half = self.depth // 2
-        cfg = dict(
+    def _half_stack_cfg(self, deterministic, skip_scale):
+        return dict(
             dim=self.dim,
             dim_head=self.dim_head,
             heads=self.heads,
@@ -309,6 +331,11 @@ class Transformer(nn.Module):
             deterministic=deterministic,
             remat=self.remat,
         )
+
+    def _scan_forward(self, x, mask, rotary_emb, norm_cond, deterministic,
+                      skip_scale):
+        half = self.depth // 2
+        cfg = self._half_stack_cfg(deterministic, skip_scale)
         scan_kwargs = dict(
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},

@@ -241,8 +241,10 @@ class TestVoiceBoxSP:
             cond_mask = mask_from_frac_lengths(k_span, n, frac)
             drop = prob_mask_like(k_drop, (b,), 0.25)
             kw = {"cond_token_ids": cond_ids} if condition_on_text else {}
+            # cond omitted -> falls back to target (reference quirk,
+            # voicebox_pytorch.py:1003) — the SP loss must match
             return plain.apply(
-                {"params": params}, w, times=times, target=flow, cond=x1,
+                {"params": params}, w, times=times, target=flow,
                 cond_mask=cond_mask, cond_drop_mask=drop,
                 self_attn_mask=jnp.ones((b, n), bool), cond_drop_prob=0.0, **kw,
             )
@@ -313,3 +315,30 @@ class TestVoiceBoxSP:
             ref_n = np.linalg.norm(a.ravel())
             diff_n = np.linalg.norm((b_ - a).ravel())
             assert diff_n <= 1e-2 * max(ref_n, 1e-3)
+
+
+class TestTrainerSP:
+    def test_trainer_seq_parallel(self, rng, tmp_path):
+        """End-to-end trainer with the latent time axis sharded: 4 data x
+        2 seq mesh, two optimizer steps, finite losses logged."""
+        from voicebox_tpu import ConditionalFlowMatcherWrapper
+        from voicebox_tpu.training.data import ArrayDataset
+        from voicebox_tpu.training.trainer import VoiceBoxTrainer
+
+        vb = VoiceBox(dim_in=32, dim=64, depth=2, dim_head=16, heads=4,
+                      num_register_tokens=2, conv_pos_embed_kernel_size=7,
+                      condition_on_text=False)
+        cfm = ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
+        cfm.init_params(rng, seq_len=16, batch=2)
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(16, 32).astype(np.float32)
+             for i in range(32)]
+        )
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=2, valid_frac=0.25,
+            results_folder=str(tmp_path / "res"), seq_parallel=2,
+            bucket_multiple=16, save_model_every=100, save_results_every=100,
+        )
+        assert tr.mesh.shape == {"data": 4, "seq": 2}
+        tr.train()
+        assert tr.steps == 2

@@ -182,6 +182,39 @@ class ConditionalFlowMatcherWrapper:
             rngs={"mask": mask_rng, "cfg": cfg_rng, "dropout": drop_rng},
         )
 
+    def sp_loss_fn(self, mesh, *, seq_axis: str = "seq",
+                   batch_axis: Optional[str] = None):
+        """Sequence-parallel drop-in for `loss_fn` (same signature): the
+        latent time axis shards over the mesh's `seq_axis` and the whole
+        denoiser runs shard-locally (ring attention, halo conv, psum'd loss
+        — parallel/sequence_parallel.py). `batch_axis` additionally shards
+        the batch for a 2-D data x seq mesh. Same training distribution:
+        noise/time/span/CFG randomness drawn from `rng` at full length."""
+        from ..parallel.sequence_parallel import make_sp_loss_fn
+
+        sp_model = self.voicebox.clone(seq_axis=seq_axis,
+                                       pad_to_lane_multiple=False)
+        inner = make_sp_loss_fn(
+            sp_model, mesh, seq_axis=seq_axis, batch_axis=batch_axis,
+            cond_drop_prob=self.cond_drop_prob, sigma=self.sigma,
+        )
+
+        def fn(params, x1, rng, *, mask=None, cond_token_ids=None,
+               cond=None, cond_mask=None):
+            assert cond_mask is None, (
+                "explicit cond_mask is not plumbed through the SP loss; the "
+                "span mask is drawn at full length inside (reference "
+                "training semantics)"
+            )
+            noise_rng, time_rng, sp_rng = jax.random.split(rng, 3)
+            x0 = jax.random.normal(noise_rng, x1.shape, dtype=x1.dtype)
+            times = jax.random.uniform(time_rng, (x1.shape[0],),
+                                       dtype=jnp.float32)
+            return inner(params, sp_rng, x1, x0, times, mask,
+                         cond_token_ids, cond)
+
+        return fn
+
     # ------------------------------------------------------------------
     # torch-like stateful entry points (reference README usage)
     # ------------------------------------------------------------------

@@ -111,14 +111,18 @@ def make_sp_loss_fn(
     seq_axis: str = SEQ_AXIS,
     batch_axis: Optional[str] = None,
     cond_drop_prob: float = 0.0,
+    sigma: float = 0.0,
 ):
     """Sequence-parallel CFM training loss.
 
-    Returns `loss_fn(params, rng, x1, x0, times, self_attn_mask[, cond_ids])
-    -> scalar`: builds `w`/`flow` exactly as the reference CFM objective
-    (voicebox_pytorch.py:1397-1410, sigma=0), draws the span mask and CFG
+    Returns `loss_fn(params, rng, x1, x0, times, self_attn_mask[, cond_ids,
+    cond]) -> scalar`: builds `w`/`flow` exactly as the reference CFM
+    objective (voicebox_pytorch.py:1397-1410), draws the span mask and CFG
     drop at FULL length from `rng`, then evaluates the masked-mean MSE under
-    `shard_map`. Differentiable; jit it (or `jax.value_and_grad`) directly.
+    `shard_map`. When `cond` is omitted it falls back to the flow target —
+    the reference's `cond = default(cond, target)` training quirk
+    (voicebox_pytorch.py:1003), preserved for training-distribution parity.
+    Differentiable; jit it (or `jax.value_and_grad`) directly.
 
     `batch_axis` composes SP with data parallelism on a 2-D mesh
     (`Mesh(devs.reshape(dp, sp), (batch_axis, seq_axis))`): the batch dim
@@ -168,13 +172,16 @@ def make_sp_loss_fn(
 
     sharded = jax.shard_map(inner, mesh=mesh, in_specs=in_specs, out_specs=r)
 
-    def loss_fn(params, rng, x1, x0, times, self_attn_mask=None, cond_ids=None):
+    def loss_fn(params, rng, x1, x0, times, self_attn_mask=None, cond_ids=None,
+                cond=None):
         b, n, _ = x1.shape
         k_frac, k_span, k_drop = jax.random.split(rng, 3)
-        # CFM interpolant (sigma = 0)
-        t = times[:, None, None]
-        w = (1.0 - t) * x0 + t * x1
-        flow = x1 - x0
+        # CFM interpolant (voicebox_pytorch.py:1408-1410)
+        t = times[:, None, None].astype(x1.dtype)
+        w = (1.0 - (1.0 - sigma) * t) * x0 + t * x1
+        flow = x1 - (1.0 - sigma) * x0
+        if cond is None:
+            cond = flow  # == VoiceBox's cond = default(cond, target) fallback
         # global randomness, drawn at full length
         lo, hi = sp_model.frac_lengths_mask
         frac = jax.random.uniform(k_frac, (b,), minval=lo, maxval=hi)
@@ -182,7 +189,7 @@ def make_sp_loss_fn(
         drop_mask = prob_mask_like(k_drop, (b,), cond_drop_prob)
         if self_attn_mask is None:
             self_attn_mask = jnp.ones((b, n), dtype=bool)
-        args = (params, w, times, flow, x1, cond_mask, drop_mask, self_attn_mask)
+        args = (params, w, times, flow, cond, cond_mask, drop_mask, self_attn_mask)
         if condition_on_text:
             args = args + (cond_ids,)
         return sharded(*args)

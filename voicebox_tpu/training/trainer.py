@@ -76,6 +76,7 @@ class VoiceBoxTrainer:
         mesh=None,
         use_mesh: bool = True,
         param_sharding: str = "replicated",  # replicated | fsdp | tp | fsdp+tp
+        seq_parallel: int = 1,  # >1: shard the latent time axis over a 'seq' axis
         min_fsdp_size: int = 2**16,
         seed: int = 0,
         bucket_multiple: int = 256,
@@ -131,7 +132,25 @@ class VoiceBoxTrainer:
         )
 
         # mesh / sharding
-        if mesh is None and use_mesh and len(jax.devices()) > 1:
+        self.seq_parallel = int(seq_parallel)
+        if self.seq_parallel > 1:
+            # 2-D data x seq mesh: batch over 'data', latent time over 'seq'
+            # (full-model sequence parallelism, parallel/sequence_parallel.py)
+            assert mesh is None, "pass seq_parallel OR a prebuilt mesh, not both"
+            assert param_sharding == "replicated", (
+                "sequence parallelism keeps params replicated (the SP "
+                "shard_map gathers them per step otherwise)"
+            )
+            devices = np.array(jax.devices())
+            assert devices.size % self.seq_parallel == 0
+            from jax.sharding import Mesh
+
+            mesh = Mesh(
+                devices.reshape(devices.size // self.seq_parallel,
+                                self.seq_parallel),
+                (DATA_AXIS, "seq"),
+            )
+        elif mesh is None and use_mesh and len(jax.devices()) > 1:
             mesh = make_mesh()
         self.mesh = mesh
         if mesh is not None:
@@ -225,8 +244,9 @@ class VoiceBoxTrainer:
         self._loss_buffer: list = []
         self._rng = jax.random.PRNGKey(seed)
         self._train_step = self._build_train_step()
+        _vloss = self._loss_callable()
         self._valid_loss = jax.jit(
-            lambda params, x, mask, ids, rng: self.cfm_wrapper.loss_fn(
+            lambda params, x, mask, ids, rng: _vloss(
                 params, x, rng, mask=mask, cond_token_ids=ids
             )
         )
@@ -270,8 +290,13 @@ class VoiceBoxTrainer:
     # jitted train step: grad-accum scan + SPMD data parallelism
     # ------------------------------------------------------------------
 
+    def _loss_callable(self):
+        if self.seq_parallel > 1:
+            return self.cfm_wrapper.sp_loss_fn(self.mesh, batch_axis=DATA_AXIS)
+        return self.cfm_wrapper.loss_fn
+
     def _build_train_step(self):
-        loss_fn = self.cfm_wrapper.loss_fn
+        loss_fn = self._loss_callable()
         opt = self.optimizer
         accum = self.grad_accum_every
 
@@ -332,6 +357,12 @@ class VoiceBoxTrainer:
                 "2-D batches look like raw audio but no audio_enc_dec is attached"
             )
 
+        if self.seq_parallel > 1:
+            assert x.shape[1] % self.seq_parallel == 0, (
+                f"bucket length {x.shape[1]} must divide seq_parallel="
+                f"{self.seq_parallel}; pick bucket_multiple/bucket_offset so "
+                f"every bucket length is a multiple of it"
+            )
         b = x.shape[0]
         accum = self.grad_accum_every
         micro = b // accum

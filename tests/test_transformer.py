@@ -176,3 +176,52 @@ class TestAttnDropout:
         c = mod.apply(params, x)  # deterministic default
         assert not np.allclose(a, b)
         np.testing.assert_allclose(c, mod.apply(params, x), rtol=1e-6)
+
+
+class TestReferenceKwargAliases:
+    """Reference call-site kwargs keep working verbatim
+    (voicebox_pytorch.py:365,371-372,896)."""
+
+    def test_attn_flash_alias_matches_use_flash(self, rng):
+        # equal resolution both ways (True needs the TPU Pallas kernel, so
+        # only resolution — not execution — is checked for that value)
+        assert _make(attn_flash=True)._resolved_flash is True
+        assert _make(use_flash=True)._resolved_flash is True
+        x = jax.random.normal(rng, (1, 8, 32))
+        ref = _make(use_flash=False)
+        ali = _make(attn_flash=False)
+        params = ref.init(rng, x)
+        np.testing.assert_allclose(
+            ref.apply(params, x), ali.apply(params, x), rtol=1e-6
+        )
+
+    def test_attn_flash_wins_over_use_flash(self):
+        mod = _make(use_flash=True, attn_flash=False)
+        assert mod._resolved_flash is False
+
+    def test_gateloop_use_jax_accepted(self, rng):
+        mod = _make(use_gateloop_layers=True, gateloop_use_jax=True)
+        x = jax.random.normal(rng, (1, 8, 32))
+        params = mod.init(rng, x)
+        assert jnp.isfinite(mod.apply(params, x)).all()
+
+    def test_voicebox_attn_flash_and_trainer_split_batches(self, rng, tmp_path):
+        from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+        from voicebox_tpu.training.data import ArrayDataset
+        from voicebox_tpu.training.trainer import VoiceBoxTrainer
+
+        vb = VoiceBox(dim_in=16, dim=32, depth=2, dim_head=8, heads=4,
+                      num_register_tokens=2, conv_pos_embed_kernel_size=7,
+                      condition_on_text=False, attn_flash=False)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=8, batch=2)
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(8, 16).astype(np.float32)
+             for i in range(16)]
+        )
+        tr = VoiceBoxTrainer(cfm, batch_size=2, dataset=ds, num_train_steps=1,
+                             valid_frac=0.25, results_folder=str(tmp_path),
+                             split_batches=True, bucket_multiple=8,
+                             use_mesh=False)
+        tr.train()
+        assert tr.steps == 1

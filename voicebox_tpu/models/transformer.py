@@ -178,7 +178,7 @@ class _HalfStack(nn.Module):
             ff_mult=self.ff_mult,
             attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout,
-            use_flash=self.use_flash,
+            use_flash=self._resolved_flash,
             adaptive_rmsnorm=self.adaptive_rmsnorm,
             adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
             attn_qk_norm=self.attn_qk_norm,
@@ -201,6 +201,13 @@ class Transformer(nn.Module):
     ff_dropout: float = 0.0
     num_register_tokens: int = 0
     use_flash: Optional[bool] = None
+    # reference-signature aliases (voicebox_pytorch.py:365,371-372):
+    # `attn_flash` mirrors `use_flash` (None defers to the measured
+    # length-based dispatch); `gateloop_use_jax` is accepted for call-site
+    # compatibility but ignored — the gateloop recurrence here is ALWAYS the
+    # jax associative scan (the reference's flag selects exactly that).
+    attn_flash: Optional[bool] = None
+    gateloop_use_jax: bool = True
     adaptive_rmsnorm: bool = False
     adaptive_rmsnorm_cond_dim_in: Optional[int] = None
     use_unet_skip_connection: bool = False
@@ -217,6 +224,12 @@ class Transformer(nn.Module):
     # parallel/sequence_parallel.py for the jit-able wrapper.
     seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def _resolved_flash(self) -> Optional[bool]:
+        """`attn_flash` (reference kwarg name) wins when set; both None keeps
+        the measured length-based dispatch in ops/flash_attention.py."""
+        return self.attn_flash if self.attn_flash is not None else self.use_flash
 
     @nn.compact
     def __call__(
@@ -293,7 +306,7 @@ class Transformer(nn.Module):
                 ff_mult=self.ff_mult,
                 attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout,
-                use_flash=self.use_flash,
+                use_flash=self._resolved_flash,
                 adaptive_rmsnorm=self.adaptive_rmsnorm,
                 adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
                 attn_qk_norm=self.attn_qk_norm,
@@ -317,7 +330,7 @@ class Transformer(nn.Module):
             ff_mult=self.ff_mult,
             attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout,
-            use_flash=self.use_flash,
+            use_flash=self._resolved_flash,
             adaptive_rmsnorm=self.adaptive_rmsnorm,
             adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
             attn_qk_norm=self.attn_qk_norm,

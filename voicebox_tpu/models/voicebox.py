@@ -56,6 +56,9 @@ class VoiceBox(nn.Module):
     conv_pos_embed_groups: Optional[int] = None
     attn_dropout: float = 0.0
     use_flash: Optional[bool] = None
+    # reference kwarg alias (voicebox_pytorch.py:896): wins over `use_flash`
+    # when set; both None keeps the measured length-based dispatch
+    attn_flash: Optional[bool] = None
     attn_qk_norm: bool = True
     use_gateloop_layers: bool = False
     num_register_tokens: int = 16
@@ -295,6 +298,7 @@ class VoiceBox(nn.Module):
             ff_dropout=self.ff_dropout,
             attn_dropout=self.attn_dropout,
             use_flash=self.use_flash,
+            attn_flash=self.attn_flash,
             attn_qk_norm=self.attn_qk_norm,
             num_register_tokens=self.num_register_tokens,
             adaptive_rmsnorm=True,

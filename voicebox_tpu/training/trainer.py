@@ -73,6 +73,12 @@ class VoiceBoxTrainer:
         save_model_every: int = 1000,
         results_folder: str = "./results",
         force_clear_prev_results: bool = False,
+        # reference kwarg (trainer.py:83): under accelerate, split_batches=True
+        # means `batch_size` is the GLOBAL batch split across processes. That
+        # is ALWAYS the semantic here — one SPMD program shards the global
+        # batch over the mesh's data axis — so the kwarg is accepted for
+        # call-site compatibility and ignored.
+        split_batches: bool = False,
         mesh=None,
         use_mesh: bool = True,
         param_sharding: str = "replicated",  # replicated | fsdp | tp | fsdp+tp

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import curtail_or_pad
-from ..ops.ode import odeint
+from ..ops.ode import cfm_interpolant, odeint
 from .voicebox import VoiceBox
 
 __all__ = ["ConditionalFlowMatcherWrapper", "is_probably_audio_from_shape"]
@@ -163,10 +163,7 @@ class ConditionalFlowMatcherWrapper:
 
         x0 = jax.random.normal(noise_rng, x1.shape, dtype=x1.dtype)
         times = jax.random.uniform(time_rng, (batch,), dtype=jnp.float32)
-        t = times[:, None, None].astype(x1.dtype)
-
-        w = (1 - (1 - sigma) * t) * x0 + t * x1
-        flow = x1 - (1 - sigma) * x0
+        w, flow = cfm_interpolant(x1, x0, times, sigma)
 
         return self.voicebox.apply(
             {"params": params},

@@ -178,7 +178,7 @@ class _HalfStack(nn.Module):
             ff_mult=self.ff_mult,
             attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout,
-            use_flash=self._resolved_flash,
+            use_flash=self.use_flash,  # Transformer resolved the alias already
             adaptive_rmsnorm=self.adaptive_rmsnorm,
             adaptive_rmsnorm_cond_dim_in=self.adaptive_rmsnorm_cond_dim_in,
             attn_qk_norm=self.attn_qk_norm,

@@ -26,7 +26,25 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["odeint", "odeint_midpoint", "odeint_euler", "odeint_rk4",
-           "odeint_tsit5", "odeint_tsit5_adaptive"]
+           "odeint_tsit5", "odeint_tsit5_adaptive", "cfm_interpolant"]
+
+
+def cfm_interpolant(x1: jax.Array, x0: jax.Array, times: jax.Array,
+                    sigma: float = 0.0):
+    """The conditional-flow-matching interpolant and its target vector field
+    (voicebox_pytorch.py:1407-1410):
+
+        w    = (1 - (1 - sigma) t) x0 + t x1
+        flow = x1 - (1 - sigma) x0
+
+    `times` is per-sample `(b,)`; x0/x1 are `(b, n, d)`. Single source of
+    truth for the training objective — used by both the single-device loss
+    (models/cfm.py) and the sequence-parallel loss (parallel/
+    sequence_parallel.py)."""
+    t = times[:, None, None].astype(x1.dtype)
+    w = (1.0 - (1.0 - sigma) * t) * x0 + t * x1
+    flow = x1 - (1.0 - sigma) * x0
+    return w, flow
 
 
 def _solve(step_fn: Callable, fn: Callable, y0: jax.Array, times: jax.Array):

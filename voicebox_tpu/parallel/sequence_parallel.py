@@ -132,6 +132,14 @@ def make_sp_loss_fn(
     from DDP, trainer.py:89-95, compiled onto ICI).
     """
     from ..ops.masks import mask_from_frac_lengths, prob_mask_like
+    from ..ops.ode import cfm_interpolant
+
+    assert float(sp_model.attn_dropout) == 0.0 and float(sp_model.ff_dropout) == 0.0, (
+        "attn/ff dropout is not plumbed through the SP shard_map (the "
+        "single-device loss_fn trains with dropout rngs; replicating that "
+        "per-shard would change the mask distribution) — train the "
+        "sequence-parallel path with dropout 0 (the reference defaults)"
+    )
 
     x3, m2, r = _specs(seq_axis)
     if batch_axis is not None:
@@ -176,10 +184,7 @@ def make_sp_loss_fn(
                 cond=None):
         b, n, _ = x1.shape
         k_frac, k_span, k_drop = jax.random.split(rng, 3)
-        # CFM interpolant (voicebox_pytorch.py:1408-1410)
-        t = times[:, None, None].astype(x1.dtype)
-        w = (1.0 - (1.0 - sigma) * t) * x0 + t * x1
-        flow = x1 - (1.0 - sigma) * x0
+        w, flow = cfm_interpolant(x1, x0, times, sigma)
         if cond is None:
             cond = flow  # == VoiceBox's cond = default(cond, target) fallback
         # global randomness, drawn at full length

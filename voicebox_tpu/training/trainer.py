@@ -143,6 +143,7 @@ class VoiceBoxTrainer:
             # 2-D data x seq mesh: batch over 'data', latent time over 'seq'
             # (full-model sequence parallelism, parallel/sequence_parallel.py)
             assert mesh is None, "pass seq_parallel OR a prebuilt mesh, not both"
+            assert use_mesh, "seq_parallel>1 requires a mesh (use_mesh=True)"
             assert param_sharding == "replicated", (
                 "sequence parallelism keeps params replicated (the SP "
                 "shard_map gathers them per step otherwise)"
@@ -160,7 +161,16 @@ class VoiceBoxTrainer:
             mesh = make_mesh()
         self.mesh = mesh
         if mesh is not None:
-            self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+            if self.seq_parallel > 1:
+                # batches are (accum, micro, n, d): micro over 'data', the
+                # latent time axis over 'seq' — matches the SP shard_map's
+                # in_specs, so the host->device put ships each shard once
+                # instead of replicating the long axis across 'seq'
+                self._batch_sharding = NamedSharding(
+                    mesh, P(None, DATA_AXIS, "seq")
+                )
+            else:
+                self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
             self._replicated = NamedSharding(mesh, P())
         else:
             self._batch_sharding = None
@@ -249,10 +259,10 @@ class VoiceBoxTrainer:
         self._metrics_path = self.results_folder / "metrics.jsonl"
         self._loss_buffer: list = []
         self._rng = jax.random.PRNGKey(seed)
+        self._loss = self._loss_callable()
         self._train_step = self._build_train_step()
-        _vloss = self._loss_callable()
         self._valid_loss = jax.jit(
-            lambda params, x, mask, ids, rng: _vloss(
+            lambda params, x, mask, ids, rng: self._loss(
                 params, x, rng, mask=mask, cond_token_ids=ids
             )
         )
@@ -302,7 +312,7 @@ class VoiceBoxTrainer:
         return self.cfm_wrapper.loss_fn
 
     def _build_train_step(self):
-        loss_fn = self._loss_callable()
+        loss_fn = self._loss  # shared with _valid_loss (one SP clone/shard_map)
         opt = self.optimizer
         accum = self.grad_accum_every
 
@@ -365,9 +375,9 @@ class VoiceBoxTrainer:
 
         if self.seq_parallel > 1:
             assert x.shape[1] % self.seq_parallel == 0, (
-                f"bucket length {x.shape[1]} must divide seq_parallel="
-                f"{self.seq_parallel}; pick bucket_multiple/bucket_offset so "
-                f"every bucket length is a multiple of it"
+                f"bucket length {x.shape[1]} must be divisible by "
+                f"seq_parallel={self.seq_parallel}; pick bucket_multiple/"
+                f"bucket_offset so every bucket length is a multiple of it"
             )
         b = x.shape[0]
         accum = self.grad_accum_every

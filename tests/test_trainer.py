@@ -135,6 +135,41 @@ class TestOptimizer:
         updates, _ = opt.update(g, state, params)
         assert jnp.isfinite(updates["w"]).all()
 
+    def test_moment_dtype_f32_matches_adamw(self):
+        """The low-precision path with dtype=f32 reproduces optax.adamw
+        step-for-step (same math, different storage plumbing)."""
+        import optax
+
+        params = {"w": jnp.linspace(-1, 1, 12).reshape(3, 4),
+                  "b": jnp.ones((4,)) * 0.1}
+        ref = get_optimizer(lr=1e-3, wd=0.01)
+        low = get_optimizer(lr=1e-3, wd=0.01, moment_dtype=jnp.float32)
+        sr, sl = ref.init(params), low.init(params)
+        pr = pl = params
+        for i in range(3):
+            g = jax.tree.map(
+                lambda p: jnp.cos(p + i).astype(jnp.float32), params
+            )
+            ur, sr = ref.update(g, sr, pr)
+            ul, sl = low.update(g, sl, pl)
+            pr = optax.apply_updates(pr, ur)
+            pl = optax.apply_updates(pl, ul)
+        for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(pl)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    def test_moment_dtype_bf16_state_and_updates(self):
+        opt = get_optimizer(lr=1e-3, wd=0.01, moment_dtype=jnp.bfloat16,
+                            max_grad_norm=0.5)
+        params = {"w": jnp.ones((4, 4))}
+        state = opt.init(params)
+        adam_state = state[1][0]  # (clip, (adam, decay, lr)) chain
+        assert adam_state.mu["w"].dtype == jnp.bfloat16
+        assert adam_state.nu["w"].dtype == jnp.bfloat16
+        g = {"w": jnp.full((4, 4), 0.3)}
+        updates, state = opt.update(g, state, params)
+        assert updates["w"].dtype == jnp.float32
+        assert jnp.isfinite(updates["w"]).all()
+
 
 class TestTrainer:
     def _trainer(self, tmp_path, rng, **kw):
@@ -320,3 +355,23 @@ class TestTrainConfig:
 
         mesh = MeshConfig(model_parallel=2).build()
         assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
+
+    def test_moment_dtype_string_roundtrips_and_builds(self, rng, tmp_path):
+        import json
+
+        from voicebox_tpu.training.config import TrainConfig
+
+        cfg = TrainConfig(batch_size=2, num_train_steps=1, valid_frac=0.25,
+                          bucket_multiple=16, moment_dtype="bfloat16",
+                          results_folder=str(tmp_path / "r"), use_mesh=False)
+        d = json.loads(json.dumps(cfg.to_dict()))
+        assert TrainConfig.from_dict(d) == cfg
+
+        cfm = _make_cfm(rng)
+        ds = ArrayDataset([np.ones((16, 32), np.float32)] * 8)
+        tr = cfg.build(cfm, ds)
+        adam_state = tr.opt_state[1][0]
+        leaves = jax.tree.leaves(adam_state.mu)
+        assert all(l.dtype == jnp.bfloat16 for l in leaves)
+        tr.train()
+        assert tr.steps == 1

@@ -52,6 +52,10 @@ class TrainConfig:
     save_model_every: int = 1000
     results_folder: str = "./results"
     param_sharding: str = "replicated"
+    seq_parallel: int = 1
+    # "bfloat16" stores Adam moments at reduced precision (string so the
+    # config stays JSON-round-trippable; see training/optimizer.py)
+    moment_dtype: Optional[str] = None
     min_fsdp_size: int = 2 ** 16
     seed: int = 0
     bucket_multiple: int = 256
@@ -78,6 +82,10 @@ class TrainConfig:
         kwargs = self.to_dict()
         mesh_cfg = kwargs.pop("mesh")
         kwargs.update(overrides)
+        if isinstance(kwargs.get("moment_dtype"), str):
+            import jax.numpy as jnp
+
+            kwargs["moment_dtype"] = jnp.dtype(kwargs["moment_dtype"])
         if "mesh" not in kwargs:
             kwargs["mesh"] = (
                 MeshConfig(**mesh_cfg).build() if isinstance(mesh_cfg, dict)

@@ -65,6 +65,9 @@ class VoiceBoxTrainer:
         initial_lr: float = 1e-5,
         grad_accum_every: int = 1,
         wd: float = 0.0,
+        # e.g. jnp.bfloat16: store Adam moments at reduced precision (HBM-
+        # bandwidth lever; see training/optimizer.py). None = f32 (reference)
+        moment_dtype=None,
         max_grad_norm: Optional[float] = 0.5,
         valid_frac: float = 0.05,
         random_split_seed: int = 42,
@@ -134,7 +137,8 @@ class VoiceBoxTrainer:
             lr, initial_lr, self.num_warmup_steps, self.num_train_steps
         )
         self.optimizer = get_optimizer(
-            lr=schedule, wd=wd, max_grad_norm=max_grad_norm
+            lr=schedule, wd=wd, max_grad_norm=max_grad_norm,
+            moment_dtype=moment_dtype,
         )
 
         # mesh / sharding

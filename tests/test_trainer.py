@@ -375,3 +375,50 @@ class TestTrainConfig:
         assert all(l.dtype == jnp.bfloat16 for l in leaves)
         tr.train()
         assert tr.steps == 1
+
+
+class TestPrefetchLoader:
+    def test_preserves_order_and_content(self):
+        from voicebox_tpu.training.data import DataLoader, PrefetchLoader
+
+        ds = ArrayDataset([np.full((8, 4), i, np.float32) for i in range(12)])
+        dl = DataLoader(ds, batch_size=4, shuffle=False, bucket_multiple=8)
+        plain = [(b.copy(), m.copy()) for b, m in dl]
+        pre = list(PrefetchLoader(dl, prefetch=2))
+        assert len(plain) == len(pre)
+        for (b0, m0), (b1, m1) in zip(plain, pre):
+            np.testing.assert_array_equal(b0, b1)
+            np.testing.assert_array_equal(m0, m1)
+
+    def test_cycle_is_infinite(self):
+        from voicebox_tpu.training.data import DataLoader, PrefetchLoader
+
+        ds = ArrayDataset([np.zeros((8, 4), np.float32)] * 4)
+        dl = DataLoader(ds, batch_size=2, bucket_multiple=8)
+        it = PrefetchLoader(dl, prefetch=2).cycle()
+        for _ in range(7):  # > one epoch (2 batches)
+            b, m = next(it)
+            assert b.shape[0] == 2
+        it.close()  # abandon mid-stream; producer must unblock
+
+    def test_producer_exception_reraises(self):
+        from voicebox_tpu.training.data import PrefetchLoader
+
+        class Boom:
+            def __iter__(self):
+                yield (np.zeros(1), np.zeros(1))
+                raise RuntimeError("decode failed")
+
+        it = iter(PrefetchLoader(Boom(), prefetch=1))
+        next(it)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
+
+    def test_plain_iterable_cycle(self):
+        from voicebox_tpu.training.data import PrefetchLoader
+
+        data = [1, 2, 3]
+        it = PrefetchLoader(data, prefetch=1).cycle()
+        got = [next(it) for _ in range(7)]
+        assert got == [1, 2, 3, 1, 2, 3, 1]
+        it.close()

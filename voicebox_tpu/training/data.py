@@ -30,6 +30,7 @@ __all__ = [
     "collate_with_mask",
     "get_dataloader",
     "DataLoader",
+    "PrefetchLoader",
     "random_split",
 ]
 
@@ -258,3 +259,76 @@ class DataLoader:
 def get_dataloader(ds, *, batch_size: int, pad_to_longest: bool = True, **kwargs) -> DataLoader:
     """Reference-parity constructor (data.py:89-91)."""
     return DataLoader(ds, batch_size=batch_size, pad_to_longest=pad_to_longest, **kwargs)
+
+
+class PrefetchLoader:
+    """Bounded background-thread prefetch around any (batch, mask) iterable —
+    the SPMD-side equivalent of the reference DataLoader's worker processes
+    (data.py:89-91 relies on torch's loader workers): audio decode + collation
+    for batch k+1 overlaps device compute for batch k. The native threaded WAV
+    decoder (native/wavio.cpp) releases the GIL, so the overlap is real even
+    on a single host core.
+
+    Wraps either a `DataLoader` (exposing both epoch `__iter__` and infinite
+    `cycle()`) or any plain iterable (epoch only). Producer exceptions
+    re-raise in the consumer; abandoning the iterator mid-epoch unblocks and
+    stops the producer thread."""
+
+    _SENTINEL = object()
+
+    def __init__(self, loader, prefetch: int = 2):
+        assert prefetch >= 1
+        self.loader = loader
+        self.prefetch = prefetch
+
+    def _iterate(self, source) -> Iterator:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:  # False if the consumer went away
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for item in source:
+                    if not _put((None, item)):
+                        return
+                _put((self._SENTINEL, None))
+            except BaseException as e:  # re-raised consumer-side
+                _put((e, None))
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="voicebox-prefetch")
+        t.start()
+        try:
+            while True:
+                flag, item = q.get()
+                if flag is self._SENTINEL:
+                    return
+                if flag is not None:
+                    raise flag
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self) -> Iterator:
+        return self._iterate(iter(self.loader))
+
+    def cycle(self) -> Iterator:
+        if hasattr(self.loader, "cycle"):
+            return self._iterate(self.loader.cycle())
+
+        def forever():
+            while True:
+                yield from iter(self.loader)
+
+        return self._iterate(forever())

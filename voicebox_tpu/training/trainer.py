@@ -41,7 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.cfm import ConditionalFlowMatcherWrapper
 from ..parallel.mesh import DATA_AXIS, make_mesh
-from .data import DataLoader, random_split
+from .data import DataLoader, PrefetchLoader, random_split
 from .optimizer import get_optimizer, warmup_cosine_schedule
 
 __all__ = ["VoiceBoxTrainer"]
@@ -92,6 +92,7 @@ class VoiceBoxTrainer:
         max_length: Optional[int] = None,
         bucket_offset: Optional[int] = None,  # None = register-aligned auto
         drop_last: bool = False,
+        prefetch_batches: int = 2,  # 0 disables background prefetch
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         checkpoint_backend: str = "msgpack",  # msgpack | orbax (async)
@@ -237,8 +238,14 @@ class VoiceBoxTrainer:
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
             bucket_offset=bucket_offset, align_multiple=align_multiple,
         )
-        self.dl_iter = self.dl.cycle()
-        self.valid_dl_iter = self.valid_dl.cycle()
+        if prefetch_batches > 0:
+            # overlap host decode/collation with device compute
+            # (reference: torch DataLoader workers, data.py:89-91)
+            self.dl_iter = PrefetchLoader(self.dl, prefetch_batches).cycle()
+            self.valid_dl_iter = PrefetchLoader(self.valid_dl, 1).cycle()
+        else:
+            self.dl_iter = self.dl.cycle()
+            self.valid_dl_iter = self.valid_dl.cycle()
 
         self.log_every = log_every
         self.save_model_every = save_model_every

@@ -58,6 +58,39 @@ class TestEngine:
     def test_no_recompile_after_warmup(self, engine):
         engine.warmup()
         n_before = len(engine.wrapper.text_to_semantic._samplers)
-        engine.synthesize(["request inside existing buckets"])
+        engine.synthesize(["in buckets"])  # 10 graphemes <= text bucket 16
         n_after = len(engine.wrapper.text_to_semantic._samplers)
         assert n_after == n_before  # no new compiled programs
+
+
+class TestOverflowHandling:
+    def test_requests_beyond_largest_batch_bucket_all_served(self, engine):
+        # 5 requests, batch buckets max 2 -> 3 chunks, every text gets output
+        texts = ["a", "bb", "ccc", "dd", "e"]
+        out = engine.synthesize(texts)
+        assert out.shape[0] == 5
+        assert jnp.isfinite(out).all()
+
+    def test_text_longer_than_largest_bucket_raises(self, engine):
+        with pytest.raises(ValueError, match="exceeds the largest text bucket"):
+            engine.synthesize(["x" * 100])  # graphemes >> bucket 16
+
+
+class TestSampleLengths:
+    def test_return_lengths_precomputed_ids(self, engine):
+        cfm = engine.wrapper
+        ids = jnp.zeros((2, 12), dtype=jnp.int32)
+        out, lengths = cfm.sample(semantic_token_ids=ids, steps=2,
+                                  decode_to_audio=False, return_lengths=True)
+        assert lengths.shape == (2,)
+        # precomputed ids: everything valid -> full latent length
+        assert (np.asarray(lengths) == out.shape[1]).all()
+
+    def test_return_lengths_from_generate_mask(self, engine):
+        out, lengths = engine.wrapper.sample(
+            texts=["hello"], steps=2, max_semantic_token_ids=12,
+            decode_to_audio=False, return_lengths=True,
+        )
+        lengths = np.asarray(lengths)
+        assert lengths.shape == (1,)
+        assert 0 < lengths[0] <= out.shape[1]

@@ -125,6 +125,15 @@ class TestResample:
         y = resample(x, 24000, 16000)
         assert y.shape == (2, int(np.ceil(x.shape[1] * 16000 / 24000)))
 
+    def test_channel_dim_passthrough(self):
+        # (b, 1, n) raw-audio shape the wrapper accepts
+        # (voicebox_pytorch.py:1119-1120) resamples along the last axis
+        x = jnp.asarray(_tone(sr=24000, dur=0.1))
+        y2 = resample(x, 24000, 16000)
+        y3 = resample(x[:, None, :], 24000, 16000)
+        assert y3.shape == (x.shape[0], 1, y2.shape[-1])
+        np.testing.assert_allclose(np.asarray(y3[:, 0]), np.asarray(y2), rtol=1e-6)
+
     def test_tone_preserved(self):
         # a 440 Hz tone resampled 24k->16k stays a 440 Hz tone
         sr1, sr2 = 24000, 16000

@@ -278,3 +278,67 @@ class TestForwardWithCondScale:
         expected = fwd(True) + (fwd(False) - fwd(True)) * scale
         got = vb.forward_with_cond_scale(params, x, cond_scale=scale, **kwargs)
         np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+class TestAdaptiveTsit5Path:
+    def test_use_torchode_honours_tolerances(self, rng):
+        """use_torchode=True routes to the adaptive Tsit5
+        (ops/ode.py::odeint_tsit5_adaptive), not a fixed grid."""
+        vb = _uncond()
+        cfm = ConditionalFlowMatcherWrapper(vb, use_torchode=True,
+                                            ode_atol=1e-3, ode_rtol=1e-3)
+        assert cfm.ode_method == "tsit5_adaptive"
+        cfm.init_params(rng, seq_len=16, batch=2)
+        x = jax.random.normal(rng, (2, 16, 64))
+        out = cfm.sample(cond=x, steps=3)
+        assert out.shape == x.shape
+        assert jnp.isfinite(out).all()
+
+    def test_adaptive_close_to_fine_midpoint(self, rng):
+        vb = _uncond()
+        a = ConditionalFlowMatcherWrapper(vb, use_torchode=True)
+        params = a.init_params(rng, seq_len=16, batch=1)
+        b = ConditionalFlowMatcherWrapper(vb, params=params)
+        x = jax.random.normal(rng, (1, 16, 64))
+        k = jax.random.PRNGKey(7)
+        ya = a.sample(cond=x, rng=k)           # adaptive, default 1e-5 tol
+        yb = b.sample(cond=x, steps=129, rng=k)  # fine fixed midpoint grid
+        # same flow field, same y0 -> both near the true solution
+        na = float(jnp.linalg.norm(ya))
+        assert float(jnp.linalg.norm(ya - yb)) < 0.1 * max(na, 1e-3)
+
+    def test_adaptive_completes_under_tight_tolerance(self, rng):
+        """A tolerance the step budget cannot honour must still integrate to
+        t=1 (degraded accuracy), not silently return a partial solve."""
+        from voicebox_tpu.ops.ode import odeint, odeint_tsit5_adaptive
+
+        fn = lambda t, y: -2.0 * y  # exact: y0 * exp(-2 t)
+        y0 = jnp.ones((4,))
+        y, n = odeint_tsit5_adaptive(fn, y0, 0.0, 1.0, atol=1e-12, rtol=1e-12,
+                                     max_steps=16)
+        assert int(n) == 16  # budget exhausted...
+        np.testing.assert_allclose(np.asarray(y), np.exp(-2.0) * np.ones(4),
+                                   rtol=1e-3)  # ...but reached t=1
+
+
+class TestRawAudioChannelDim:
+    def test_b1n_audio_with_resample(self, rng):
+        """(b, 1, n) raw audio + input_sampling_rate != codec rate must not
+        crash (is_probably_audio_from_shape accepts it,
+        voicebox_pytorch.py:1119-1120)."""
+        from voicebox_tpu.models.codec import MelVoco
+
+        from voicebox_tpu.models.vocos import Vocos
+
+        codec = MelVoco(n_mels=8, n_fft=64, win_length=64, hop_length=None,
+                        vocos=Vocos(input_channels=8, dim=32,
+                                    intermediate_dim=64, num_layers=1))
+        vb = VoiceBox(audio_enc_dec=codec, dim_in=8, dim=32, depth=2,
+                      dim_head=8, heads=4, num_register_tokens=2,
+                      condition_on_text=False,
+                      conv_pos_embed_kernel_size=7)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=16, batch=1)
+        audio = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 3200)) * 0.1
+        loss = cfm(audio, input_sampling_rate=16000)
+        assert jnp.isfinite(loss)

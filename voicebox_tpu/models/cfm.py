@@ -29,7 +29,6 @@ precomputed `semantic_token_ids` / `phoneme_ids` pass straight through
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Optional
 
@@ -60,10 +59,10 @@ class ConditionalFlowMatcherWrapper:
         cond_drop_prob: float = 0.0,
         params: Optional[Any] = None,
         # reference-API aliases (voicebox_pytorch.py:1129-1161): torchdiffeq's
-        # method name maps directly; use_torchode selects the Tsit5 tableau
-        # (fixed-grid — the evaluation grid is fixed in the reference too);
-        # atol/rtol are accepted for signature parity and apply to the
-        # adaptive tsit5 path in ops.ode
+        # method name maps directly; use_torchode selects the ADAPTIVE Tsit5
+        # (`ops/ode.py::odeint_tsit5_adaptive`, integral step controller under
+        # lax.while_loop — the torchode Tsit5+IntegralController equivalent),
+        # honouring atol/rtol
         ode_atol: float = 1e-5,
         ode_rtol: float = 1e-5,
         use_torchode: bool = False,
@@ -72,7 +71,7 @@ class ConditionalFlowMatcherWrapper:
         if torchdiffeq_ode_method is not None:
             ode_method = torchdiffeq_ode_method
         if use_torchode:
-            ode_method = "tsit5"
+            ode_method = "tsit5_adaptive"
         self.ode_atol = ode_atol
         self.ode_rtol = ode_rtol
         self.sigma = sigma
@@ -96,6 +95,7 @@ class ConditionalFlowMatcherWrapper:
 
         self.params = params
         self._rng = jax.random.PRNGKey(0)
+        self._sampler_cache: dict = {}
         # jit the stateful-entry loss (eager flax apply dispatches op-by-op,
         # which is pathologically slow on a tunneled TPU backend)
         self._loss_jit = jax.jit(self.loss_fn)
@@ -296,15 +296,21 @@ class ConditionalFlowMatcherWrapper:
     # sampling
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
     def _build_sampler(self, steps: int, use_cfg: bool, has_ids: bool, has_attn_mask: bool,
                        has_cond_mask: bool, method: str, fuse_decode: bool = False):
         """Build + jit the full ODE solve for one static configuration.
+        Cached per instance (an lru_cache on the bound method would pin old
+        wrapper instances — params and codec weights — in a class-level cache).
 
         With `fuse_decode` the codec's vocoder runs INSIDE the same program
         (ODE solve -> RVQ/mel -> Vocos -> iSTFT compiled together): one
         dispatch per request instead of two — on a remote/tunneled backend
         that halves request latency, locally it saves a host round-trip."""
+        key = (steps, use_cfg, has_ids, has_attn_mask, has_cond_mask, method,
+               fuse_decode)
+        cached = self._sampler_cache.get(key)
+        if cached is not None:
+            return cached
         voicebox = self.voicebox
         decode_fn = None
         if fuse_decode:
@@ -348,22 +354,31 @@ class ConditionalFlowMatcherWrapper:
             logits, null_logits = out2[:b], out2[b:]
             return null_logits + (logits - null_logits) * cond_scale
 
+        atol, rtol = self.ode_atol, self.ode_rtol
+
         @jax.jit
         def sample_latents(params, y0, cond, cond_token_ids, cond_mask,
                            self_attn_mask, cond_scale, codec_params=None):
-            times = jnp.linspace(0.0, 1.0, steps)
-
             def fn(t, x):
                 return vector_field(
                     params, t, x, cond, cond_token_ids, cond_mask,
                     self_attn_mask, cond_scale,
                 )
 
-            y_final, _ = odeint(fn, y0, times, method=method)
+            if method == "tsit5_adaptive":  # use_torchode: honour atol/rtol
+                from ..ops.ode import odeint_tsit5_adaptive
+
+                y_final, _ = odeint_tsit5_adaptive(
+                    fn, y0, 0.0, 1.0, atol=atol, rtol=rtol
+                )
+            else:
+                times = jnp.linspace(0.0, 1.0, steps)
+                y_final, _ = odeint(fn, y0, times, method=method)
             if decode_fn is not None:
                 return decode_fn(codec_params, y_final)
             return y_final
 
+        self._sampler_cache[key] = sample_latents
         return sample_latents
 
     def sample(
@@ -382,11 +397,21 @@ class ConditionalFlowMatcherWrapper:
         max_semantic_token_ids: int = 2048,
         spec_decode: bool = False,
         spec_decode_gamma: int = 5,
+        return_lengths: bool = False,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
         """Sample audio latents by integrating the learned ODE from noise
-        (mirrors voicebox_pytorch.py:1175-1330)."""
+        (mirrors voicebox_pytorch.py:1175-1330).
+
+        Outputs are statically shaped (XLA): with `texts`, the generated
+        semantic ids live in a fixed `max_semantic_token_ids` buffer, so the
+        decoded audio always spans the full horizon — the part beyond the
+        generated speech is padding. `return_lengths=True` additionally
+        returns per-sample valid lengths (samples of audio, or frames of
+        latents/codes) derived from the generator's validity mask, so callers
+        can trim (the reference's AR generate returns variable-length ids
+        instead, which static shapes forbid)."""
         params = params if params is not None else self.params
         assert params is not None, "call init_params() first or pass params="
         rng = rng if rng is not None else self._next_rng()
@@ -479,12 +504,38 @@ class ConditionalFlowMatcherWrapper:
         )
 
         if fuse_decode:
-            return sampled  # decoded audio, one fused program
-        if decode_to_codes and codec is not None:
-            return codec.decode_to_codes(sampled)
-        if not decode_to_audio or codec is None:
-            return sampled
-        return codec.decode(sampled)
+            out = sampled  # decoded audio, one fused program
+            out_is_audio = True
+        elif decode_to_codes and codec is not None:
+            out = codec.decode_to_codes(sampled)
+            out_is_audio = False
+        elif not decode_to_audio or codec is None:
+            out = sampled
+            out_is_audio = False
+        else:
+            out = codec.decode(sampled)
+            out_is_audio = True
+        if not return_lengths:
+            return out
+
+        n_frames = cond.shape[1]
+        if self_attn_mask is not None:
+            valid_tokens = jnp.asarray(self_attn_mask).sum(axis=-1)
+            if self.text_to_semantic is not None and codec is not None:
+                # same wav2vec/codec rate algebra as cond_target_length above
+                wav2vec = self.text_to_semantic.wav2vec
+                ratio = (wav2vec.target_sample_hz / wav2vec.downsample_factor) / (
+                    codec.sampling_rate / codec.downsample_factor
+                )
+                frames = jnp.ceil(valid_tokens * ratio).astype(jnp.int32)
+            else:
+                frames = valid_tokens.astype(jnp.int32)
+            frames = jnp.minimum(frames, n_frames)
+        else:  # no validity mask (precomputed ids): everything is valid
+            frames = jnp.full((out.shape[0],), n_frames, dtype=jnp.int32)
+        if out_is_audio and codec is not None:
+            return out, frames * codec.downsample_factor
+        return out, frames
 
 
 def _resample_if_needed(audio, sr_in: Optional[int], sr_out: int):

@@ -76,6 +76,11 @@ class MelVoco(AudioEncoderDecoder):
         self.vocos = vocos if vocos is not None else Vocos.from_pretrained(
             pretrained_vocos_path
         )
+        assert self.vocos.input_channels == n_mels, (
+            f"n_mels={n_mels} but the vocoder consumes "
+            f"{self.vocos.input_channels}-bin mels — decode would fail at "
+            "apply time; pass a matching Vocos(input_channels=n_mels)"
+        )
         # Reference quirk FIXED (its README todo acknowledges "MelVoco length
         # settings"): the reference encodes at hop 160 but vocos-mel-24khz
         # synthesises hop_length samples per frame (256), so 10 s of input
@@ -127,10 +132,13 @@ class MelVoco(AudioEncoderDecoder):
         return self._encode(jnp.asarray(audio))
 
     def decode(self, mel: jax.Array) -> jax.Array:
-        mel = mel.transpose(0, 2, 1)  # (b, n_mels, frames)
-        if self.log:
-            mel = db_to_amplitude(mel, ref=1.0, power=0.5)
-        return self.vocos.decode(mel)
+        # one jitted program (dB->amp + vocos + iSTFT): eager ops here would
+        # dispatch op-by-op over the tunnel (CLAUDE.md)
+        fn, params = self.decode_fn()
+        jitted = getattr(self, "_decode_jit", None)
+        if jitted is None:
+            jitted = self._decode_jit = jax.jit(fn)
+        return jitted(params, jnp.asarray(mel))
 
     def decode_fn(self):
         """(pure_fn, params): pure_fn(params, latents) -> audio. Lets callers
@@ -187,14 +195,14 @@ class EncodecVoco(AudioEncoderDecoder):
         return codes.transpose(0, 2, 1)  # (b, q, n)
 
     def decode(self, latents: jax.Array) -> jax.Array:
-        codes = self.decode_to_codes(latents)
-        # batched decode (the reference loops per batch item,
-        # voicebox_pytorch.py:586-592)
-        features = self.vocos.codes_to_features(codes)
-        audio = self.vocos.decode(
-            features, bandwidth_id=jnp.asarray([self.bandwidth_id])
-        )
-        return audio[:, None, :]  # (b, 1, n) — reference stacks to this shape
+        """Batched (the reference loops per item, voicebox_pytorch.py:586-592)
+        and ONE jitted program: RVQ -> codes -> Vocos -> iSTFT, returning
+        (b, 1, n) as the reference stacks to."""
+        fn, params = self.decode_fn()
+        jitted = getattr(self, "_decode_jit", None)
+        if jitted is None:
+            jitted = self._decode_jit = jax.jit(fn)
+        return jitted(params, jnp.asarray(latents))
 
     def decode_fn(self):
         """(pure_fn, params): pure_fn(params, latents) -> audio (b, 1, n*320).

@@ -140,11 +140,9 @@ class VoiceBox(nn.Module):
         cond_mask: Optional[jax.Array] = None,  # (b, n) bool — True = to generate
         train: bool = False,
     ):
-        dim_in = self.dim_in if self.dim_in is not None else self.dim
         time_hidden_dim = (
             self.time_hidden_dim if self.time_hidden_dim is not None else self.dim * 4
         )
-        dim_cond_emb = self.dim_cond_emb if self.condition_on_text else 0
 
         if self.condition_on_text:
             assert self.num_cond_tokens is not None, (
@@ -154,7 +152,6 @@ class VoiceBox(nn.Module):
         needs_proj = self.audio_enc_dec is not None and self.dim != self.latent_dim
         if needs_proj:
             proj_in = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")
-            dim_in = self.dim
         else:
             proj_in = lambda t: t
 

@@ -159,7 +159,11 @@ def odeint_tsit5_adaptive(
     path (`Tsit5 + IntegralController`, voicebox_pytorch.py:1297-1322).
 
     The loop is bounded by `max_steps` (static), step size adapts on the
-    scalar RMS error norm. Returns (y_final, num_steps_taken)."""
+    scalar RMS error norm. Completion is GUARANTEED: the step size is floored
+    at (t1 - t) / steps_remaining and a step at that floor is force-accepted,
+    so a tolerance the budget cannot honour degrades accuracy instead of
+    silently returning a partial integration. Returns
+    (y_final, num_steps_taken)."""
 
     def err_norm(err, y, y_next):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_next))
@@ -171,10 +175,12 @@ def odeint_tsit5_adaptive(
 
     def body(state):
         t, y, h, n, _ = state
-        h = jnp.minimum(h, t1 - t)
+        remaining = jnp.maximum(max_steps - n, 1).astype(jnp.float32)
+        h_min = (t1 - t) / remaining  # the budget must cover the rest
+        h = jnp.clip(h, h_min, t1 - t)
         y_next, err = _tsit5_stages(fn, y, t, h)
         e = err_norm(err, y, y_next)
-        accept = e <= 1.0
+        accept = (e <= 1.0) | (h <= h_min * (1.0 + 1e-6))
         # integral controller: h *= clip(0.9 * e^(-1/5))
         factor = jnp.clip(0.9 * jnp.power(jnp.maximum(e, 1e-10), -0.2), 0.2, 5.0)
         h_new = h * factor

@@ -377,9 +377,11 @@ def resample(
     """Polyphase sinc resampling, (b, n) or (n,) -> resampled."""
     if orig_freq == new_freq:
         return audio
-    squeeze = audio.ndim == 1
-    if squeeze:
-        audio = audio[None]
+    # torchaudio semantics: resample along the LAST axis, any leading dims —
+    # (n,), (b, n), and the wrapper's (b, 1, n) raw-audio shape
+    # (voicebox_pytorch.py:1119-1120) all work
+    lead_shape = audio.shape[:-1]
+    audio = audio.reshape((-1, audio.shape[-1]))
 
     kernels, orig, new, width = _sinc_resample_kernel(
         orig_freq, new_freq, lowpass_filter_width, rolloff
@@ -396,7 +398,7 @@ def resample(
     )  # (b, new, frames)
     out = out.transpose(0, 2, 1).reshape(b, -1)[:, :target_length]
     out = out.astype(audio.dtype)
-    return out[0] if squeeze else out
+    return out.reshape(lead_shape + (target_length,))
 
 
 def resample_np(audio: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:

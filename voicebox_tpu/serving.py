@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,15 +56,8 @@ class TTSEngine:
     # ------------------------------------------------------------------
 
     def _tokenizer(self):
-        t2s = self.wrapper.text_to_semantic
-        if t2s is not None:
-            return t2s.tokenizer
-        dp = self.wrapper.duration_predictor
-        assert dp is not None and dp.tokenizer is not None, (
-            "serving text requires a TextToSemantic or a DurationPredictor "
-            "with a tokenizer"
-        )
-        return dp.tokenizer
+        # __init__ asserts text_to_semantic is present
+        return self.wrapper.text_to_semantic.tokenizer
 
     def _bucket(self, value: int, buckets: Sequence[int]) -> int:
         for b in buckets:
@@ -82,25 +76,43 @@ class TTSEngine:
 
     def synthesize(self, texts: List[str], rng=None):
         """texts -> audio (or latents when decode_to_audio=False), padded to
-        the enclosing (batch, text-length) bucket and trimmed back."""
+        the enclosing (batch, text-length) bucket and trimmed back. Requests
+        beyond the largest batch bucket are served in successive chunks (every
+        text gets audio); a text longer than the largest text bucket raises —
+        silent truncation would return cut-off speech."""
         tok = self._tokenizer()
-        ids = tok.texts_to_tensor_ids(list(texts))
+        ids_all = np.asarray(tok.texts_to_tensor_ids(list(texts)))
+
+        if ids_all.shape[1] > self.text_buckets[-1]:
+            raise ValueError(
+                f"text of {ids_all.shape[1]} tokens exceeds the largest text "
+                f"bucket {self.text_buckets[-1]}; raise text_buckets or split "
+                "the text"
+            )
+        length = self._bucket(ids_all.shape[1], self.text_buckets)
 
         n_req = len(texts)
-        batch = self._bucket(n_req, self.batch_buckets)
-        length = self._bucket(ids.shape[1], self.text_buckets)
-        ids = self._pad_ids(ids, batch, length)
-
-        out = self.wrapper.sample(
-            **self._id_kwarg(ids),
-            steps=self.steps,
-            cond_scale=self.cond_scale,
-            max_semantic_token_ids=self.max_semantic_token_ids,
-            spec_decode=self.spec_decode,
-            decode_to_audio=self.decode_to_audio,
-            rng=rng,
-        )
-        return out[:n_req]
+        max_batch = self.batch_buckets[-1]
+        outs = []
+        for start in range(0, n_req, max_batch):
+            chunk = ids_all[start : start + max_batch]
+            batch = self._bucket(chunk.shape[0], self.batch_buckets)
+            ids = self._pad_ids(chunk, batch, length)
+            if rng is not None:
+                rng, chunk_rng = jax.random.split(rng)
+            else:
+                chunk_rng = None
+            out = self.wrapper.sample(
+                **self._id_kwarg(ids),
+                steps=self.steps,
+                cond_scale=self.cond_scale,
+                max_semantic_token_ids=self.max_semantic_token_ids,
+                spec_decode=self.spec_decode,
+                decode_to_audio=self.decode_to_audio,
+                rng=chunk_rng,
+            )
+            outs.append(out[: chunk.shape[0]])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def _id_kwarg(self, ids: np.ndarray) -> dict:
         return {"text_token_ids": jnp.asarray(ids)}

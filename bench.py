@@ -59,10 +59,16 @@ def _build(dtype, codec=None):
     return ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
 
 
-def bench_train(cfm, batch=8, seq_len=SEQ_LEN):
-    """Train throughput: full fwd+bwd+adamw update; K-step scan differential."""
-    params = cfm.init_params(jax.random.PRNGKey(0), seq_len=seq_len, batch=2)
-    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adamw(1e-4))
+def bench_train(cfm, batch=8, seq_len=SEQ_LEN, moment_dtype=None, params=None):
+    """Train throughput: full fwd+bwd+adamw update; K-step scan differential.
+    moment_dtype=jnp.bfloat16 measures the opt-in compressed-moment path
+    (training/optimizer.py); None is the reference-parity f32 default."""
+    from voicebox_tpu.training.optimizer import get_optimizer
+
+    if params is None:
+        params = cfm.init_params(jax.random.PRNGKey(0), seq_len=seq_len, batch=2)
+    opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5,
+                        moment_dtype=moment_dtype)
     opt_state = opt.init(params)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, seq_len, LATENT_DIM))
@@ -174,6 +180,8 @@ def main():
 
     cfm = _build(dtype, codec=_build_codec())
     train_sps, params = bench_train(cfm)
+    train_sps_bf16m, _ = bench_train(cfm, moment_dtype=jnp.bfloat16,
+                                     params=params)
     rtf, latency, rtf_latents = bench_sample_rtf(cfm, params)
     dispatch_s = bench_dispatch_overhead()
 
@@ -187,6 +195,7 @@ def main():
                 "vs_baseline": round(target_rtf / rtf, 3),
                 "extra": {
                     "train_steps_per_sec_dim512_depth24_bs8_seq752plus16reg": round(train_sps, 3),
+                    "train_steps_per_sec_bf16_adam_moments_optin": round(train_sps_bf16m, 3),
                     "sample_latency_s_750frames_steps3_cfg_incl_vocoder": round(latency, 4),
                     "rtf_latents_only": round(rtf_latents, 5),
                     "dispatch_roundtrip_s": round(dispatch_s, 4),

@@ -224,3 +224,18 @@ class TestFusedSampleDecode:
             np.asarray(jax.jit(fn)(params, mel)),
             np.asarray(mel_voco.decode(mel)), atol=1e-5,
         )
+
+
+class TestISTFTHeadClip:
+    def test_huge_logmag_stays_finite(self, rng):
+        """Upstream Vocos clips the MAGNITUDE at 1e2 (clip(exp(x), max=100));
+        clipping the exponent instead capped at e^100 = inf -> NaN audio."""
+        from voicebox_tpu.models.vocos import ISTFTHead
+
+        head = ISTFTHead(dim=16, n_fft=64, hop_length=16)
+        x = jax.random.normal(rng, (1, 4, 16))
+        params = head.init(rng, x)
+        wav = head.apply(params, x * 1e4)  # drives log-mag far past 88
+        assert jnp.isfinite(wav).all()
+        # magnitude cap of 100 bounds the per-sample amplitude too
+        assert float(jnp.abs(wav).max()) < 100.0 * 64

@@ -78,7 +78,9 @@ class TestAlignIds:
         out = align_phoneme_ids_with_durations(ids, jnp.array([[2.0, 2.0]]),
                                                total_length=6)
         assert out.shape == (1, 6)
-        np.testing.assert_array_equal(out, [[1, 1, 2, 2, 2, 2]])
+        # frames past the total duration are id 0 (reference einsum
+        # semantics, voicebox_pytorch.py:689-692), not the last phoneme
+        np.testing.assert_array_equal(out, [[1, 1, 2, 2, 0, 0]])
 
 
 class TestDurationPredictor:
@@ -153,3 +155,37 @@ class TestDurationPredictor:
     def test_tokenizer_and_num_tokens_mutex(self):
         with pytest.raises(AssertionError):
             DurationPredictor(tokenizer=GraphemeTokenizer(), num_phoneme_tokens=10)
+
+
+class TestAlignTailFill:
+    def test_short_rows_fill_zero_beyond_total(self):
+        from voicebox_tpu.models.duration import align_phoneme_ids_with_durations
+
+        ids = jnp.array([[7, 8], [5, 6]])
+        durs = jnp.array([[2.0, 2.0], [1.0, 1.0]])
+        out = np.asarray(align_phoneme_ids_with_durations(ids, durs))
+        assert out.shape == (2, 4)
+        assert out[0].tolist() == [7, 7, 8, 8]
+        # row 1 total duration 2: frames 2..3 are id 0 (reference einsum
+        # semantics), not the clamped last phoneme
+        assert out[1].tolist() == [5, 6, 0, 0]
+
+
+class TestDropoutRng:
+    def test_ff_dropout_trains(self, rng):
+        """The reference exposes ff_dropout/attn_dropout on the duration
+        predictor (voicebox_pytorch.py:610-614); loss_fn must supply the
+        dropout rng."""
+        dp = _small_dp(ff_dropout=0.2, attn_dropout=0.1)
+        dp.init_params(rng, seq_len=12, n_phonemes=6, batch=1)
+        loss = dp.loss_fn(
+            dp.params, rng,
+            cond=jnp.ones((1, 12, 32)) * 0.1,
+            phoneme_ids=jnp.arange(6)[None],
+            mel=jnp.ones((1, 12, 13)) * 0.1,
+            phoneme_len=jnp.array([6]),
+            mel_len=jnp.array([12]),
+            phoneme_mask=jnp.ones((1, 6), bool),
+            mel_mask=jnp.ones((1, 12), bool),
+        )
+        assert jnp.isfinite(jnp.asarray(loss)).all()

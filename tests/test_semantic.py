@@ -205,3 +205,24 @@ class TestSampledSpecDecode:
         emp = counts / counts.sum()
         tv = 0.5 * np.abs(emp - p).sum()
         assert tv < 0.15, f"total variation {tv:.3f} too high — biased sampling"
+
+
+class TestLossEosPlacement:
+    def test_loss_invariant_to_pad_width(self, tts):
+        """EOS is taught at each row's true length, so extra pad columns must
+        not change the loss (they carry no target)."""
+        text = jnp.array([[3, 4, 5, -1]])
+        sem = jnp.array([[1, 2, 3]])
+        sem_wide = jnp.concatenate([sem, jnp.full((1, 4), -1, sem.dtype)], 1)
+        l1 = tts.loss_fn(tts.params, text, sem)
+        l2 = tts.loss_fn(tts.params, text, sem_wide)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    def test_generate_never_emits_bos(self, tts):
+        ids, mask = tts.generate(["hello"], max_length=8,
+                                 return_target_mask=True, temperature=1.0,
+                                 rng=jax.random.PRNGKey(3))
+        ids = np.asarray(ids)
+        assert (ids != tts.net.bos_id).all()
+        # valid tokens stay inside the semantic codebook
+        assert (ids[np.asarray(mask)] < tts.net.num_semantic_tokens).all()

@@ -254,7 +254,11 @@ def align_phoneme_ids_with_durations(
     # index of first boundary > frame
     idx = jnp.sum(frames[:, :, None] >= boundaries[:, None, :], axis=-1)
     idx = jnp.clip(idx, 0, phoneme_ids.shape[-1] - 1)
-    return jnp.take_along_axis(phoneme_ids, idx, axis=-1)
+    aligned = jnp.take_along_axis(phoneme_ids, idx, axis=-1)
+    # frames past a row's total duration get id 0, matching the reference
+    # einsum (no phoneme covers them -> sum of one-hots is 0,
+    # voicebox_pytorch.py:689-692) — NOT the clamped last/pad phoneme
+    return jnp.where(frames < boundaries[:, -1:], aligned, 0)
 
 
 class DurationPredictor:
@@ -333,14 +337,14 @@ class DurationPredictor:
     def loss_fn(self, params, rng, *, cond, phoneme_ids, mel, phoneme_len, mel_len,
                 phoneme_mask, mel_mask, cond_drop_prob: float = 0.0, **kwargs):
         """Pure training loss — jit/grad-able."""
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         return self.net.apply(
             {"params": params},
             cond=cond, phoneme_ids=phoneme_ids, mel=mel,
             phoneme_len=phoneme_len, mel_len=mel_len,
             phoneme_mask=phoneme_mask, mel_mask=mel_mask,
             cond_drop_prob=cond_drop_prob, train=True,
-            rngs={"mask": k1, "cfg": k2},
+            rngs={"mask": k1, "cfg": k2, "dropout": k3},
             **kwargs,
         )
 

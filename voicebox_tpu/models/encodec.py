@@ -265,13 +265,24 @@ class EncodecModel:
         return self._decode(self.params, quantized)
 
     def decode_codes(self, codes: jax.Array) -> jax.Array:
-        """codes (b, n, q) -> audio (b, n*320)."""
-        codebooks = self.params["quantizer"]["codebooks"]
-        q = codes.shape[-1]
-        quantized = jnp.zeros(codes.shape[:2] + (self.codebook_dim,))
-        for i in range(q):
-            quantized = quantized + codebooks[i][codes[..., i]]
-        return self._decode(self.params, quantized)
+        """codes (b, n, q) -> audio (b, n*320). ONE jitted program — the
+        per-quantizer gathers, sum, and decoder fuse (eager per-op dispatch
+        costs ~ms each over the tunnel)."""
+        fn = getattr(self, "_decode_codes_jit", None)
+        if fn is None:
+            decoder = self.decoder
+
+            def impl(params, codes):
+                codebooks = params["quantizer"]["codebooks"]  # (q, size, dim)
+                q = codes.shape[-1]
+                gathered = codebooks[
+                    jnp.arange(q)[:, None, None], codes.transpose(2, 0, 1)
+                ]  # (q, b, n, dim)
+                quantized = gathered.sum(axis=0)
+                return decoder.apply({"params": params["decoder"]}, quantized)
+
+            fn = self._decode_codes_jit = jax.jit(impl)
+        return fn(self.params, codes)
 
     def __call__(self, audio: jax.Array, return_encoded: bool = False):
         latents = self.encode(audio)

@@ -127,9 +127,19 @@ class HubertWithKmeans:
         if checkpoint_path is not None or kmeans_path is not None:
             import os
 
-            if checkpoint_path is not None and os.path.exists(checkpoint_path):
-                pass  # torch-port hook: utils.port_weights (hubert map TBD)
-            if kmeans_path is not None and os.path.exists(kmeans_path):
+            if checkpoint_path is not None:
+                assert os.path.exists(checkpoint_path), (
+                    f"hubert checkpoint not found: {checkpoint_path}"
+                )
+                from ..utils.port_weights import load_hubert_torch
+
+                self.params = params = load_hubert_torch(
+                    checkpoint_path, params
+                )
+            if kmeans_path is not None:
+                assert os.path.exists(kmeans_path), (
+                    f"kmeans checkpoint not found: {kmeans_path}"
+                )
                 import joblib  # pragma: no cover
 
                 km = joblib.load(kmeans_path)

@@ -216,6 +216,10 @@ class _Seq2Seq(nn.Module):
             )
             new_caches.append(new_cache)
         logits = self.to_logits(self.final_norm(x))[:, 0]
+        # bos must never be emitted: its id == num_semantic_tokens, which is
+        # exactly VoiceBox's CFG null-cond embedding row (voicebox.py null_
+        # cond_id) — an emitted bos would silently condition a frame on null
+        logits = logits.at[..., self.bos_id].set(-1e9)
         return logits, tuple(new_caches)
 
     def decode_chunk(self, tokens, position, caches, context, text_mask,
@@ -233,6 +237,7 @@ class _Seq2Seq(nn.Module):
             )
             cache_out.append(new_cache)
         logits = self.to_logits(self.final_norm(x))
+        logits = logits.at[..., self.bos_id].set(-1e9)  # see decode_step
         return logits, tuple(cache_out)
 
 
@@ -303,9 +308,17 @@ class TextToSemantic:
         if semantic_mask is None:
             semantic_mask = semantic_ids != -1
         b, n = semantic_ids.shape
-        eos = jnp.full((b, 1), self.net.eos_id, dtype=semantic_ids.dtype)
-        targets = jnp.concatenate([jnp.clip(semantic_ids, 0, None), eos], axis=1)
-        tmask = jnp.concatenate([semantic_mask, jnp.ones((b, 1), bool)], axis=1)
+        # EOS is taught at each row's TRUE length (not after the pad tail):
+        # under causal attention the padded positions never influence the
+        # positions that carry loss, so only targets/mask need placing
+        lengths = semantic_mask.sum(axis=-1)  # (b,)
+        pos = jnp.arange(n + 1)[None]
+        base = jnp.concatenate(
+            [jnp.clip(semantic_ids, 0, None),
+             jnp.zeros((b, 1), dtype=semantic_ids.dtype)], axis=1
+        )
+        targets = jnp.where(pos == lengths[:, None], self.net.eos_id, base)
+        tmask = pos <= lengths[:, None]
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         nll = jnp.where(tmask, nll, 0.0)
@@ -395,17 +408,22 @@ class TextToSemantic:
                 )
 
             full_caches = make_caches(net.dec_depth)
-            draft_caches = make_caches(draft_layers)
             buf = jnp.full((batch, buf_len), net.eos_id, dtype=jnp.int32)
 
             def cond(state):
-                p, _, _, done, _, _ = state
+                p, _, _, done, _ = state
                 return (p < max_length) & ~jnp.all(done)
 
             def body(state):
-                p, last_token, buf, done, full_caches, draft_caches = state
+                p, last_token, buf, done, full_caches = state
 
-                # --- draft: gamma early-exit AR steps ---
+                # --- draft: gamma early-exit AR steps. The draft IS the full
+                # model's first draft_layers layers, so it seeds from (and is
+                # later refreshed by) the full cache: the verify chunk
+                # recomputes identical KV for these positions PLUS position
+                # p+gamma, which the draft never writes — keeping a separate
+                # draft cache left a permanent zero-KV hole there on
+                # full-acceptance rounds ---
                 def draft_step(carry, j):
                     tok, caches = carry
                     logits, caches = net.apply(
@@ -416,8 +434,10 @@ class TextToSemantic:
                     nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                     return (nxt, caches), nxt
 
-                (_, draft_caches), proposals = jax.lax.scan(
-                    draft_step, (last_token, draft_caches), jnp.arange(gamma)
+                (_, _), proposals = jax.lax.scan(
+                    draft_step,
+                    (last_token, tuple(full_caches[:draft_layers])),
+                    jnp.arange(gamma),
                 )
                 proposals = proposals.T  # (b, gamma)
 
@@ -457,13 +477,12 @@ class TextToSemantic:
                 advance = k + 1
                 last_token = slab[jnp.arange(batch), jnp.minimum(advance - 1, gamma)]
                 last_token = jnp.where(new_done, net.eos_id, last_token)
-                return (p + advance, last_token, buf, new_done, full_caches,
-                        draft_caches)
+                return (p + advance, last_token, buf, new_done, full_caches)
 
             bos = jnp.full((batch,), net.bos_id, dtype=jnp.int32)
             init = (jnp.asarray(0, jnp.int32), bos, buf,
-                    jnp.zeros((batch,), bool), full_caches, draft_caches)
-            _, _, buf, _, _, _ = jax.lax.while_loop(cond, body, init)
+                    jnp.zeros((batch,), bool), full_caches)
+            _, _, buf, _, _ = jax.lax.while_loop(cond, body, init)
 
             tokens = buf[:, :max_length]
             is_eos = tokens == net.eos_id
@@ -506,15 +525,16 @@ class TextToSemantic:
                 )
 
             full_caches = make_caches(net.dec_depth)
-            draft_caches = make_caches(draft_layers)
             buf = jnp.full((batch, buf_len), net.eos_id, dtype=jnp.int32)
 
             def cond(state):
-                p, _, _, done, _, _, _ = state
+                p, _, _, done, _, _ = state
                 return (p < max_length) & ~jnp.all(done)
 
             def body(state):
-                p, last_token, buf, done, full_caches, draft_caches, key = state
+                # draft shares the full model's first-layer caches — see the
+                # greedy variant for why a separate draft cache is wrong
+                p, last_token, buf, done, full_caches, key = state
                 key, k_draft, k_accept, k_res = jax.random.split(key, 4)
 
                 # --- draft: gamma sampled steps, keeping q log-probs ---
@@ -531,8 +551,9 @@ class TextToSemantic:
                     return (nxt, caches), (nxt, logq)
 
                 draft_keys = jax.random.split(k_draft, gamma)
-                (_, draft_caches), (proposals, logqs) = jax.lax.scan(
-                    draft_step, (last_token, draft_caches),
+                (_, _), (proposals, logqs) = jax.lax.scan(
+                    draft_step,
+                    (last_token, tuple(full_caches[:draft_layers])),
                     (jnp.arange(gamma), draft_keys),
                 )
                 proposals = proposals.T  # (b, gamma)
@@ -608,12 +629,12 @@ class TextToSemantic:
                 last_token = slab[jnp.arange(batch), jnp.minimum(advance - 1, gamma)]
                 last_token = jnp.where(new_done, net.eos_id, last_token)
                 return (p + advance, last_token, buf, new_done, full_caches,
-                        draft_caches, key)
+                        key)
 
             bos = jnp.full((batch,), net.bos_id, dtype=jnp.int32)
             init = (jnp.asarray(0, jnp.int32), bos, buf,
-                    jnp.zeros((batch,), bool), full_caches, draft_caches, rng)
-            _, _, buf, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+                    jnp.zeros((batch,), bool), full_caches, rng)
+            _, _, buf, _, _, _ = jax.lax.while_loop(cond, body, init)
 
             tokens = buf[:, :max_length]
             is_eos = tokens == net.eos_id

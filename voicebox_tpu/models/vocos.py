@@ -138,7 +138,9 @@ class ISTFTHead(nn.Module):
         # x: (b, n, dim) -> wav (b, n * hop_length)
         h = nn.Dense(self.n_fft + 2, dtype=self.dtype, name="out")(x)
         mag, phase = jnp.split(h, 2, axis=-1)  # (b, n, n_fft//2 + 1) each
-        mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), None, 100.0))
+        # upstream clips the MAGNITUDE at 1e2 (clip(exp(x), max=100)), not the
+        # exponent — exp(100) is inf in fp32 and inf*0 in the DFT makes NaN
+        mag = jnp.clip(jnp.exp(mag.astype(jnp.float32)), None, 100.0)
         phase = phase.astype(jnp.float32)
         # real/imag kept separate (no complex ops on the TPU hot path)
         spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))

@@ -73,27 +73,18 @@ class TestMaximumPath:
         np.testing.assert_array_equal(p1, p2)
 
 
-def _forward_sum_numpy(lp, key_len, query_len):
-    """Brute force: logsumexp over all monotonic alignments."""
-    from scipy.special import logsumexp
-
-    # lp already renormalised over valid keys
-    K, T = key_len, query_len
-    alpha = np.full((T, K), -1e9)
-    alpha[0, 0] = lp[0, 0]
-    for t in range(1, T):
-        for k in range(K):
-            prev = [alpha[t - 1, k]]
-            if k > 0:
-                prev.append(alpha[t - 1, k - 1])
-            alpha[t, k] = lp[t, k] + logsumexp(prev)
-    return -alpha[T - 1, K - 1] / K
-
-
 class TestForwardSum:
-    def test_matches_numpy(self, rng):
+    def test_matches_torch_ctc(self, rng):
+        """Exact parity with the reference ForwardSumLoss recipe
+        (naturalspeech2: blank column at logit -1, log_softmax over keys,
+        torch CTCLoss(blank=0, zero_infinity=True, reduction='mean'))."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
         b, t_mel, t_ph = 3, 10, 4
-        logits = np.asarray(jax.random.normal(rng, (b, t_mel, t_ph)))
+        logits = np.asarray(
+            jax.random.normal(rng, (b, t_mel, t_ph))
+        ).astype(np.float32)
         key_lens = np.array([4, 3, 2])
         query_lens = np.array([10, 8, 5])
 
@@ -101,13 +92,27 @@ class TestForwardSum:
             jnp.asarray(logits), jnp.asarray(key_lens), jnp.asarray(query_lens)
         )
 
-        expected = []
-        for i in range(b):
-            lp = logits[i].astype(np.float64)
-            lp[:, key_lens[i]:] = -1e9
-            lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
-            expected.append(_forward_sum_numpy(lp, key_lens[i], query_lens[i]))
-        np.testing.assert_allclose(loss, np.mean(expected), rtol=1e-4)
+        attn = torch.from_numpy(logits)
+        attn = F.pad(attn, (1, 0), value=-1.0)  # blank col 0 at logit -1
+        mask = (
+            torch.arange(t_ph + 1)[None, None, :]
+            > torch.as_tensor(key_lens)[:, None, None]
+        )
+        attn = attn.masked_fill(mask, -1e9)
+        attn = attn.log_softmax(dim=-1).permute(1, 0, 2)  # (T, b, K+1)
+        targets = torch.arange(1, t_ph + 1)[None, :].repeat(b, 1)
+        expected = F.ctc_loss(
+            attn, targets, torch.as_tensor(query_lens),
+            torch.as_tensor(key_lens), blank=0, reduction="mean",
+            zero_infinity=True,
+        )
+        np.testing.assert_allclose(float(loss), float(expected), rtol=1e-4)
+
+    def test_impossible_alignment_zero_not_inf(self):
+        # key_len > query_len cannot align; zero_infinity semantics -> 0
+        lp = jnp.zeros((1, 2, 5))
+        loss = forward_sum_loss(lp, jnp.array([5]), jnp.array([2]))
+        assert float(loss) == 0.0
 
     def test_perfect_alignment_low_loss(self):
         # diagonal-concentrated logprobs -> low loss; uniform -> higher

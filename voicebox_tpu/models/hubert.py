@@ -50,7 +50,7 @@ class HubertFeatureExtractor(nn.Module):
             if i == 0:
                 x = nn.GroupNorm(num_groups=self.conv_dim, dtype=self.dtype,
                                  name="group_norm")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)  # exact GELU (torch default)
         return x
 
 
@@ -70,7 +70,7 @@ class HubertEncoder(nn.Module):
             feature_group_count=self.conv_pos_groups, dtype=self.dtype,
             name="pos_conv",
         )(x)
-        x = x + nn.gelu(pos)
+        x = x + nn.gelu(pos, approximate=False)
         x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
 
         return Transformer(

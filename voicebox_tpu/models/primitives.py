@@ -140,7 +140,9 @@ class ConvPositionEmbed(nn.Module):
             dtype=self.dtype,
             name="dw_conv1d",
         )(x)
-        out = nn.gelu(x)
+        # exact erf GELU (torch nn.GELU default); flax defaults to the tanh
+        # approximation, which drifts ~1e-3/activation from the reference
+        out = nn.gelu(x, approximate=False)
 
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)
@@ -216,7 +218,7 @@ class GEGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x, gate = jnp.split(x, 2, axis=-1)
-        return nn.gelu(gate) * x
+        return nn.gelu(gate, approximate=False) * x  # exact GELU, like torch
 
 
 class FeedForward(nn.Module):
@@ -242,26 +244,31 @@ class SimpleGateLoopLayer(nn.Module):
     """Data-controlled linear recurrence (GateLoop with head dim 1), run as a
     single `jax.lax.associative_scan` — see `voicebox_tpu.ops.gateloop`.
 
-    Behavioural contract from the reference call site
-    (voicebox_pytorch.py:31,399,465-466): input (b, n, d) -> output (b, n, d),
-    applied residually before attention; `post_ln=True` variant.
+    Structure mirrors `gateloop_transformer.SimpleGateLoopLayer` as the
+    reference constructs it (voicebox_pytorch.py:31,399,465-466): pre-RMSNorm,
+    one fused dim*3 projection into (q, kv, a), sigmoid forget gate, state
+    recurrence s_t = a_t s_{t-1} + kv_t, output q * s, optional post-LN
+    (`post_ln=True` at the call site), no output projection — the caller adds
+    the residual. Input (b, n, d) -> output (b, n, d).
     """
 
     dim: int
+    prenorm: bool = True
     post_ln: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        qkva = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype, name="to_qkva")(x)
-        q, k, v, a = jnp.split(qkva, 4, axis=-1)
+        if self.prenorm:
+            x = RMSNorm(self.dim, name="norm")(x)
+        qkva = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="to_qkva")(x)
+        q, kv, a = jnp.split(qkva, 3, axis=-1)
 
         # data-controlled forget gate in (0, 1)
         gate = jax.nn.sigmoid(a)
-        state = gated_linear_recurrence(gate, jax.nn.silu(k) * v, axis=1)
+        state = gated_linear_recurrence(gate, kv, axis=1)
         out = q * state
 
         if self.post_ln:
             out = nn.LayerNorm(dtype=self.dtype, name="post_norm")(out)
-
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return out

@@ -54,7 +54,7 @@ class ConvNeXtBlock(nn.Module):
         else:
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # exact GELU (torch default)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)

@@ -1,22 +1,26 @@
-"""Forward-sum alignment loss (CTC-style) as a log-semiring `lax.scan`.
+"""Forward-sum alignment loss (CTC with blank) — XLA-native.
 
 TPU-native replacement for `naturalspeech2_pytorch.aligner.ForwardSumLoss`
-(reference call sites voicebox_pytorch.py:683,871-876), which wraps torch's
-C++ CTC kernel with an effectively-disabled blank (blank logprob ~ -1000). With
-no blank, CTC over the target sequence [1..K] reduces to the plain monotonic
-forward algorithm:
+(reference call sites voicebox_pytorch.py:683,871-876). The upstream loss is
+NOT blank-free: it pads a blank column at logit `blank_logprob = -1` before
+log-softmaxing over keys and runs `torch.nn.CTCLoss(blank=0,
+zero_infinity=True)` over target sequence [1..K] — frames may emit blank
+between/around phonemes, and those alignments carry non-negligible mass.
+This mirrors that exactly with `optax.ctc_loss` (pure-XLA log-semiring scan):
 
-    alpha[t, k] = logprob[t, k] + logsumexp(alpha[t-1, k], alpha[t-1, k-1])
-
-and the loss is -alpha[T-1, K-1] (normalised per sample by the target length,
-matching `F.ctc_loss(reduction='mean')`'s by-target-length normalisation,
-then averaged over the batch).
+* blank column 0 at logit `blank_logprob`, keys shifted to 1..K;
+* keys beyond `key_lens` masked to -inf before the (internal) log-softmax;
+* `zero_infinity=True`: impossible alignments (key_len > query_len) clamp to
+  0 loss instead of inf;
+* reduction matches `CTCLoss(reduction='mean')`: per-sample NLL divided by
+  the target length, then batch-averaged.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import optax
 
 __all__ = ["forward_sum_loss"]
 
@@ -27,39 +31,34 @@ def forward_sum_loss(
     attn_logprob: jax.Array,  # (b, 1, t_mel, t_ph) or (b, t_mel, t_ph)
     key_lens: jax.Array,  # (b,) phoneme lengths
     query_lens: jax.Array,  # (b,) mel lengths
+    blank_logprob: float = -1.0,
 ) -> jax.Array:
     if attn_logprob.ndim == 4:
         attn_logprob = attn_logprob[:, 0]
     b, t_mel, t_ph = attn_logprob.shape
     lp = attn_logprob.astype(jnp.float32)
 
-    # renormalise over the VALID keys only (the torch impl log_softmaxes after
-    # masking padded keys to -inf)
-    key_idx = jnp.arange(t_ph)[None, None, :]
-    valid_key = key_idx < key_lens[:, None, None]
-    lp = jnp.where(valid_key, lp, _NEG)
-    lp = jax.nn.log_softmax(lp, axis=-1)
+    # blank column at index 0 (logit -1, the upstream default), keys -> 1..K
+    logits = jnp.pad(lp, ((0, 0), (0, 0), (1, 0)), constant_values=blank_logprob)
+    # mask keys beyond each row's key_len (upstream masks index > key_len
+    # before log_softmax; blank col 0 always stays valid)
+    key_idx = jnp.arange(t_ph + 1)[None, None, :]
+    logits = jnp.where(key_idx > key_lens[:, None, None], _NEG, logits)
 
-    def step(alpha_prev, lp_t):
-        # alpha_prev: (b, t_ph); lp_t: (b, t_ph)
-        shifted = jnp.concatenate(
-            [jnp.full((b, 1), _NEG), alpha_prev[:, :-1]], axis=1
-        )
-        alpha = lp_t + jnp.logaddexp(alpha_prev, shifted)
-        return alpha, alpha
+    labels = jnp.broadcast_to(jnp.arange(1, t_ph + 1)[None, :], (b, t_ph))
+    label_paddings = (
+        jnp.arange(t_ph)[None, :] >= key_lens[:, None]
+    ).astype(jnp.float32)
+    logit_paddings = (
+        jnp.arange(t_mel)[None, :] >= query_lens[:, None]
+    ).astype(jnp.float32)
 
-    # t = 0: must start at key 0
-    alpha0 = jnp.where(
-        jnp.arange(t_ph)[None, :] == 0, lp[:, 0, 0][:, None], _NEG
+    per_sample = optax.ctc_loss(
+        logits, logit_paddings, labels.astype(jnp.int32), label_paddings,
+        blank_id=0,
     )
-    _, alphas = jax.lax.scan(step, alpha0, lp[:, 1:].transpose(1, 0, 2))
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (t_mel, b, t_ph)
+    # zero_infinity: alignments that cannot exist produce 0, not inf
+    per_sample = jnp.where(key_lens <= query_lens, per_sample, 0.0)
 
-    # gather alpha[query_len - 1, k = key_len - 1] per sample
-    t_final = jnp.clip(query_lens - 1, 0, t_mel - 1)
-    k_final = jnp.clip(key_lens - 1, 0, t_ph - 1)
-    batch_idx = jnp.arange(b)
-    final = alphas[t_final, batch_idx, k_final]  # (b,)
-
-    per_sample = -final / jnp.maximum(key_lens.astype(jnp.float32), 1.0)
+    per_sample = per_sample / jnp.maximum(key_lens.astype(jnp.float32), 1.0)
     return jnp.mean(per_sample)

@@ -29,7 +29,10 @@ def interpolate_1d(t: jax.Array, length: int) -> jax.Array:
         x = x[:, None, :]
 
     b, d, _ = x.shape
-    x = jax.image.resize(x, (b, d, length), method="linear")
+    # antialias=False: torch F.interpolate(mode='bilinear') does plain 2-tap
+    # interpolation when downsampling too; resize's default antialias=True
+    # would apply a triangle filter and diverge from the reference
+    x = jax.image.resize(x, (b, d, length), method="linear", antialias=False)
 
     if implicit_one_channel:
         x = x[:, 0, :]

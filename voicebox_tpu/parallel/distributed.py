@@ -48,6 +48,17 @@ def maybe_initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif from_env:
+        # jax.distributed.initialize only auto-reads JAX_COORDINATOR_ADDRESS;
+        # the process-topology vars this module documents must be passed
+        # explicitly or the cluster detector raises
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"])
+            if "JAX_NUM_PROCESSES" in os.environ else None,
+            process_id=int(os.environ["JAX_PROCESS_ID"])
+            if "JAX_PROCESS_ID" in os.environ else None,
+        )
     jax.distributed.initialize(**kwargs)
     _initialized = True
     return True

@@ -75,11 +75,24 @@ class OrbaxCheckpointer:
         )
 
     def restore(self, step_or_path, params_template, opt_state_template):
-        step = (
-            int(step_or_path)
-            if not isinstance(step_or_path, (str, Path)) or str(step_or_path).isdigit()
-            else self.manager.latest_step()
-        )
+        """`step_or_path`: an int step, a string/path containing the step
+        number (e.g. 'voicebox.1000.ckpt' -> 1000), or None/'latest' for the
+        newest. An unparseable explicit path raises — silently loading the
+        latest would make a requested rollback a no-op."""
+        import re
+
+        if step_or_path is None or str(step_or_path) == "latest":
+            step = self.manager.latest_step()
+        elif isinstance(step_or_path, int):
+            step = step_or_path
+        else:
+            digits = re.findall(r"\d+", str(step_or_path))
+            if not digits:
+                raise ValueError(
+                    f"cannot parse a checkpoint step out of {step_or_path!r}; "
+                    "pass an int step, a name containing the step, or 'latest'"
+                )
+            step = int(digits[-1])
         if step is None:
             step = self.manager.latest_step()
         restored = self.manager.restore(

@@ -239,8 +239,13 @@ class DataLoader:
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     return
-                # static batch shape: wrap around instead of emitting a ragged batch
-                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+                # static batch shape: wrap around (cycling as many times as
+                # needed for batch_size > dataset size) instead of emitting a
+                # ragged batch. Wrapped entries are duplicates — for unbiased
+                # eval statistics use drop_last=True.
+                idx = np.concatenate(
+                    [idx, np.resize(order, self.batch_size - len(idx))]
+                )
             items = [np.asarray(self.dataset[int(i)]) for i in idx]
             yield collate_with_mask(
                 items,

@@ -83,20 +83,15 @@ def load_vocos_torch(path: str, template_params):
     sd = load_torch_state_dict(path)
     # upstream naming: backbone.embed / backbone.norm / backbone.convnext.{i}.* /
     # backbone.final_layer_norm / head.out / head.istft.window
-    name_map = {}
-    for k in sd:
-        name_map[k] = sd[k]
-
     def fetch(torch_key, convert=None, default=None):
-        if torch_key not in name_map:
+        if torch_key not in sd:
             return default
-        v = name_map[torch_key]
+        v = sd[torch_key]
         return convert(v) if convert is not None else v
 
     import jax.numpy as jnp
 
     p = template_params
-    bb = dict(p["backbone"])
 
     def set_conv(dst: dict, prefix: str):
         w = fetch(f"{prefix}.weight", torch_conv1d_to_flax)
@@ -187,14 +182,20 @@ def _split_torch_lstm(sd, prefix: str, layer: int):
     return out
 
 
-def _wn_conv(sd, prefix: str):
-    """Fused weight-norm conv kernel from `<prefix>.weight_g/.weight_v`
-    (or plain `.weight`), converted to flax layout, plus bias."""
+def _wn_raw(sd, prefix: str):
+    """Fused weight-norm tensor from `<prefix>.weight_g/.weight_v` (or plain
+    `.weight`) in TORCH layout, plus bias — caller picks the layout convert."""
     if f"{prefix}.weight_g" in sd:
         w = fuse_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
     else:
         w = sd[f"{prefix}.weight"]
-    return torch_conv1d_to_flax(w), sd.get(f"{prefix}.bias")
+    return w, sd.get(f"{prefix}.bias")
+
+
+def _wn_conv(sd, prefix: str):
+    """`_wn_raw` converted to flax Conv1d layout."""
+    w, b = _wn_raw(sd, prefix)
+    return torch_conv1d_to_flax(w), b
 
 
 def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
@@ -230,14 +231,9 @@ def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
             else:
                 # decoder: [stem, lstm, (elu, convtr, resblock) x4, elu, head]
                 up, blk = f"{base}.{3*i+3}", f"{base}.{3*i+4}"
-                w, b = _wn_conv(sd, f"{up}.convtr.convtr")
+                w, b = _wn_raw(sd, f"{up}.convtr.convtr")
                 tree[f"up_{i}"]["convtr"]["kernel"] = jnp.asarray(
-                    torch_convtranspose1d_to_flax(
-                        fuse_weight_norm(sd[f"{up}.convtr.convtr.weight_g"],
-                                         sd[f"{up}.convtr.convtr.weight_v"])
-                        if f"{up}.convtr.convtr.weight_g" in sd
-                        else sd[f"{up}.convtr.convtr.weight"]
-                    )
+                    torch_convtranspose1d_to_flax(w)
                 )
                 if b is not None:
                     tree[f"up_{i}"]["convtr"]["bias"] = jnp.asarray(b)

@@ -62,8 +62,27 @@ class GraphemeTokenizer:
         return out
 
 
+# Fixed, pre-enumerated IPA symbol table (espeak-ng en-us inventory with
+# stress/length marks, plus latin letters, digits, punctuation). The table is
+# FROZEN: ids are stable across runs and processes, and the embedding sized
+# from vocab_size can never be out-indexed — symbols outside the table map to
+# the reserved <unk> id 0 instead of growing the vocabulary.
+_IPA_SYMBOLS = (
+    ["<unk>", " "]
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    + list("0123456789")
+    + list("!'(),-.:;?\"")
+    + list("æɑɒɔəɚɛɜɝɪʊʌʒʃθðŋɹɾɡɫɬɱɳɲʔʕχʁħʰʲʷ")
+    + list("ãẽĩõũáéíóúàèìòùâêîôû")
+    + list("ˈˌːˑ̩̃‿͡")
+    + list("ᵻɐɨʉɘɵɤøœɶɞʏʎʋʍɸβɗɖʂʐɻɽɢʡʢǀǁǂǃ")
+)
+
+
 class EspeakTokenizer:  # pragma: no cover - requires espeak-ng
-    """IPA-phoneme tokenizer via phonemizer/espeak-ng."""
+    """IPA-phoneme tokenizer via phonemizer/espeak-ng, over the frozen
+    `_IPA_SYMBOLS` table (see above: run-stable ids, bounded vocab)."""
 
     def __init__(self, language: str = "en-us"):
         from phonemizer.backend import EspeakBackend
@@ -71,15 +90,11 @@ class EspeakTokenizer:  # pragma: no cover - requires espeak-ng
         self.backend = EspeakBackend(
             language, preserve_punctuation=True, with_stress=True
         )
-        # stable IPA symbol vocabulary (espeak en-us inventory + punctuation)
-        self._vocab: List[str] = []
-        self._to_id = {}
+        self._vocab: List[str] = list(_IPA_SYMBOLS)
+        self._to_id = {s: i for i, s in enumerate(self._vocab)}
 
     def _sym_id(self, s: str) -> int:
-        if s not in self._to_id:
-            self._to_id[s] = len(self._vocab)
-            self._vocab.append(s)
-        return self._to_id[s]
+        return self._to_id.get(s, 0)  # unknown symbol -> <unk>
 
     @property
     def vocab_size(self) -> int:

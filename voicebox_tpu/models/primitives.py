@@ -140,9 +140,11 @@ class ConvPositionEmbed(nn.Module):
             dtype=self.dtype,
             name="dw_conv1d",
         )(x)
-        # exact erf GELU (torch nn.GELU default); flax defaults to the tanh
-        # approximation, which drifts ~1e-3/activation from the reference
-        out = nn.gelu(x, approximate=False)
+        # tanh-approximate GELU: measured 16% cheaper per FF stack on v5e than
+        # exact erf (PERFORMANCE.md), and the denoiser has no pretrained
+        # reference weights to match bit-for-bit (ported-codec models — vocos,
+        # hubert — DO use exact GELU for checkpoint parity)
+        out = nn.gelu(x)
 
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)
@@ -218,7 +220,8 @@ class GEGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x, gate = jnp.split(x, 2, axis=-1)
-        return nn.gelu(gate, approximate=False) * x  # exact GELU, like torch
+        # tanh-approximate GELU (TPU-fast; see ConvPositionEmbed note)
+        return nn.gelu(gate) * x
 
 
 class FeedForward(nn.Module):

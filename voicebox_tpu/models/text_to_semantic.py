@@ -657,6 +657,10 @@ class TextToSemantic:
         temperature: float = 0.0,
         spec_decode: bool = False,
         spec_decode_gamma: int = 5,
+        # draft depth for speculative decoding; None = dec_depth // 2 (the
+        # self-speculative early-exit half). The speedup is acceptance-rate-
+        # dependent: deeper drafts agree more but cost more per proposal.
+        spec_decode_draft_layers=None,
         rng=None,
         params=None,
     ):
@@ -673,8 +677,10 @@ class TextToSemantic:
             source = jnp.asarray(source)
 
         batch = source.shape[0]
+        if spec_decode_draft_layers is None:
+            spec_decode_draft_layers = max(1, self.net.dec_depth // 2)
         if spec_decode and temperature == 0.0:
-            draft_layers = max(1, self.net.dec_depth // 2)
+            draft_layers = int(spec_decode_draft_layers)
             key = ("spec", batch, int(max_length), int(spec_decode_gamma),
                    draft_layers)
             if key not in self._samplers:
@@ -683,7 +689,7 @@ class TextToSemantic:
                 )
             tokens, mask = self._samplers[key](params, source)
         elif spec_decode:
-            draft_layers = max(1, self.net.dec_depth // 2)
+            draft_layers = int(spec_decode_draft_layers)
             key = ("spec_sampled", batch, int(max_length),
                    int(spec_decode_gamma), draft_layers, float(temperature))
             if key not in self._samplers:

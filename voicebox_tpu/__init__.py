@@ -47,4 +47,21 @@ def __getattr__(name):
         from .models.hubert import HubertWithKmeans
 
         return HubertWithKmeans
+    # beyond-reference subsystems, exported for convenience
+    if name == "TTSEngine":
+        from .serving import TTSEngine
+
+        return TTSEngine
+    if name == "TrainConfig":
+        from .training.config import TrainConfig
+
+        return TrainConfig
+    if name == "MeshConfig":
+        from .training.config import MeshConfig
+
+        return MeshConfig
+    if name == "PrefetchLoader":
+        from .training.data import PrefetchLoader
+
+        return PrefetchLoader
     raise AttributeError(f"module 'voicebox_tpu' has no attribute {name!r}")

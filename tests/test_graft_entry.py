@@ -1,0 +1,73 @@
+"""Driver-contract regression tests for `__graft_entry__.dryrun_multichip`.
+
+Round 1 failed the driver's multi-chip check (MULTICHIP_r01.json ok=false)
+because `dryrun_multichip` assumed n devices already existed, while the driver
+invokes it under the pinned single-device environment. These tests re-exec in
+fresh subprocesses with a deliberately single-device platform (JAX_PLATFORMS=
+cpu, NO --xla_force_host_platform_device_count) — i.e. exactly the failure
+mode the driver hit, minus the TPU tunnel — and assert the entry point
+self-provisions its own virtual mesh both when the backend is uninitialised
+(in-process bootstrap) and when it is already live (subprocess re-exec).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pinned_single_device_env():
+    """Environment mimicking the driver: platform pinned, ONE device, and no
+    inherited virtual-device flags from the pytest process."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("_VOICEBOX_TPU_DRYRUN_CHILD", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run(script: str):
+    return subprocess.run(
+        [sys.executable, "-c", script],
+        env=_pinned_single_device_env(),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_dryrun_bootstraps_uninitialized_backend():
+    # Backend never touched before the call: dryrun must force an n-virtual-
+    # device CPU platform in-process and complete.
+    proc = _run(
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(2)\n"
+        "import jax\n"
+        "assert len(jax.devices()) >= 2, jax.devices()\n"
+        "print('DRYRUN_OK')\n"
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
+
+
+def test_dryrun_reexecs_when_backend_already_live():
+    # jax.devices() is called FIRST, pinning a 1-device platform — the exact
+    # driver scenario. dryrun must detect it and re-exec a child with a
+    # virtual mesh instead of asserting.
+    proc = _run(
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(2)\n"
+        "print('DRYRUN_OK')\n"
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout

@@ -330,6 +330,16 @@ class TestOrbaxCheckpoint:
         b = jax.tree.leaves(tr2.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+        # step parsing anchors on the basename's step field: the trainer's
+        # canonical name resolves, digit-bearing suffixes/directories raise
+        # instead of silently restoring the wrong step
+        tr2.load(f"some_dir/voicebox.{latest}.ckpt")
+        assert tr2.steps == latest
+        import pytest
+
+        with pytest.raises(ValueError, match="unambiguously"):
+            tr2.load(f"run_v2/voicebox.{latest}.ckpt.bak3")
+
 
 class TestTrainConfig:
     def test_roundtrip_and_build(self, rng, tmp_path):

@@ -310,6 +310,9 @@ class ConditionalFlowMatcherWrapper:
                fuse_decode)
         cached = self._sampler_cache.get(key)
         if cached is not None:
+            # LRU: refresh insertion order so eviction drops the stalest entry
+            self._sampler_cache.pop(key)
+            self._sampler_cache[key] = cached
             return cached
         voicebox = self.voicebox
         decode_fn = None
@@ -378,6 +381,11 @@ class ConditionalFlowMatcherWrapper:
                 return decode_fn(codec_params, y_final)
             return y_final
 
+        # bounded like the reference's lru_cache(maxsize=8): callers sweeping
+        # steps/cond_scale/method configs must not accumulate compiled XLA
+        # programs without eviction
+        while len(self._sampler_cache) >= 8:
+            self._sampler_cache.pop(next(iter(self._sampler_cache)))
         self._sampler_cache[key] = sample_latents
         return sample_latents
 

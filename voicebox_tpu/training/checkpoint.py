@@ -75,10 +75,12 @@ class OrbaxCheckpointer:
         )
 
     def restore(self, step_or_path, params_template, opt_state_template):
-        """`step_or_path`: an int step, a string/path containing the step
-        number (e.g. 'voicebox.1000.ckpt' -> 1000), or None/'latest' for the
-        newest. An unparseable explicit path raises — silently loading the
-        latest would make a requested rollback a no-op."""
+        """`step_or_path`: an int step, a string/path whose BASENAME carries
+        the step number (the trainer's 'voicebox.{step}.ckpt', or any name
+        with exactly one digit group), or None/'latest' for the newest.
+        Ambiguous or unparseable names raise — guessing from stray digits in
+        directories ('run_v2/...') or suffixes ('...ckpt.bak3') would silently
+        restore the wrong step."""
         import re
 
         if step_or_path is None or str(step_or_path) == "latest":
@@ -86,13 +88,19 @@ class OrbaxCheckpointer:
         elif isinstance(step_or_path, int):
             step = step_or_path
         else:
-            digits = re.findall(r"\d+", str(step_or_path))
-            if not digits:
-                raise ValueError(
-                    f"cannot parse a checkpoint step out of {step_or_path!r}; "
-                    "pass an int step, a name containing the step, or 'latest'"
-                )
-            step = int(digits[-1])
+            name = Path(str(step_or_path)).name
+            anchored = re.fullmatch(r"voicebox\.(\d+)(?:\.ckpt)?", name)
+            if anchored:
+                step = int(anchored.group(1))
+            else:
+                digits = re.findall(r"\d+", name)
+                if len(digits) != 1:
+                    raise ValueError(
+                        f"cannot unambiguously parse a checkpoint step out of "
+                        f"{name!r} ({len(digits)} digit groups); pass an int "
+                        "step, a 'voicebox.{step}.ckpt' name, or 'latest'"
+                    )
+                step = int(digits[0])
         if step is None:
             step = self.manager.latest_step()
         restored = self.manager.restore(

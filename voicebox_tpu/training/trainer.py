@@ -80,8 +80,9 @@ class VoiceBoxTrainer:
         # means `batch_size` is the GLOBAL batch split across processes. That
         # is ALWAYS the semantic here — one SPMD program shards the global
         # batch over the mesh's data axis — so the kwarg is accepted for
-        # call-site compatibility and ignored.
-        split_batches: bool = False,
+        # call-site compatibility. An explicit False under multi-host warns:
+        # the reference would have given batch_size PER PROCESS.
+        split_batches: Optional[bool] = None,
         mesh=None,
         use_mesh: bool = True,
         param_sharding: str = "replicated",  # replicated | fsdp | tp | fsdp+tp
@@ -101,6 +102,19 @@ class VoiceBoxTrainer:
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
         self.steps = 0
+
+        if split_batches is False and jax.process_count() > 1:
+            import warnings
+
+            warnings.warn(
+                "split_batches=False under multi-host: the reference's "
+                "accelerate semantics would make batch_size PER-PROCESS "
+                f"(effective {batch_size * jax.process_count()}); here "
+                f"batch_size is always GLOBAL ({batch_size} total, sharded "
+                "over the mesh). Scale batch_size up if porting a reference "
+                "config verbatim.",
+                stacklevel=2,
+            )
 
         # dataset split (reference trainer.py:126-136)
         self.ds = dataset
@@ -170,15 +184,22 @@ class VoiceBoxTrainer:
                 # batches are (accum, micro, n, d): micro over 'data', the
                 # latent time axis over 'seq' — matches the SP shard_map's
                 # in_specs, so the host->device put ships each shard once
-                # instead of replicating the long axis across 'seq'
+                # instead of replicating the long axis across 'seq'.
+                # cond_ids are NOT seq-sharded: the SP loss expects token ids
+                # replicated over 'seq' (in_specs P(batch, None) —
+                # parallel/sequence_parallel.py), so placing them that way up
+                # front avoids a silent per-step reshard/all-gather.
                 self._batch_sharding = NamedSharding(
                     mesh, P(None, DATA_AXIS, "seq")
                 )
+                self._ids_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
             else:
                 self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+                self._ids_sharding = self._batch_sharding
             self._replicated = NamedSharding(mesh, P())
         else:
             self._batch_sharding = None
+            self._ids_sharding = None
             self._replicated = None
         self._param_sharding_mode = param_sharding
         self._min_fsdp_size = min_fsdp_size
@@ -402,7 +423,7 @@ class VoiceBoxTrainer:
             x = jax.device_put(x, self._batch_sharding)
             mask = jax.device_put(mask, self._batch_sharding)
             if cond_ids is not None:
-                cond_ids = jax.device_put(cond_ids, self._batch_sharding)
+                cond_ids = jax.device_put(cond_ids, self._ids_sharding)
         return x, mask, cond_ids
 
     # ------------------------------------------------------------------

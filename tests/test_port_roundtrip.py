@@ -1,0 +1,445 @@
+"""End-to-end pretrained-weight-port round trips (VERDICT r1 item 2).
+
+Builds TINY torch models whose state-dict layouts exactly mirror the upstream
+checkpoints the reference consumes (Vocos `charactr/vocos-*-24khz`, Meta
+Encodec 24 kHz SEANet, transformers HuBERT — reference call sites
+voicebox_pytorch.py:497,508,551-592,1384-1389), torch-saves them, runs the
+full-model loaders in `voicebox_tpu.utils.port_weights`, and asserts
+torch-vs-flax forward parity. This exercises the risky parts of porting:
+conv/linear layout transposes, ConvTranspose flip conventions, weight-norm
+fusing, LSTM gate splitting/bias folding, and the state-dict name maps.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+ATOL = 1e-4
+
+
+def _np(x):
+    return np.asarray(jax.device_get(x))
+
+
+# ---------------------------------------------------------------------------
+# Vocos (mel + encodec variants)
+# ---------------------------------------------------------------------------
+
+
+class _TConvNeXtBlock(tnn.Module):
+    def __init__(self, dim, inter, num_bw=0):
+        super().__init__()
+        self.dwconv = tnn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        if num_bw > 0:
+            self.norm = _TAdaLayerNorm(dim, num_bw)
+        else:
+            self.norm = tnn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = tnn.Linear(dim, inter)
+        self.pwconv2 = tnn.Linear(inter, dim)
+        self.gamma = tnn.Parameter(torch.randn(dim) * 0.1)
+
+    def forward(self, x, bw=None):  # x: (b, dim, n)
+        res = x
+        x = self.dwconv(x)
+        x = x.transpose(1, 2)
+        x = self.norm(x, bw) if isinstance(self.norm, _TAdaLayerNorm) else self.norm(x)
+        x = self.pwconv2(F.gelu(self.pwconv1(x)))
+        x = self.gamma * x
+        return res + x.transpose(1, 2)
+
+
+class _TAdaLayerNorm(tnn.Module):
+    """Upstream encodec-variant conditioning: scale/shift embedding tables."""
+
+    def __init__(self, dim, num_bw):
+        super().__init__()
+        self.scale = tnn.Embedding(num_bw, dim)
+        self.shift = tnn.Embedding(num_bw, dim)
+        tnn.init.normal_(self.scale.weight, std=0.1)
+        tnn.init.normal_(self.shift.weight, std=0.1)
+        self.dim = dim
+
+    def forward(self, x, bw):  # x: (b, n, dim)
+        s, t = self.scale(bw), self.shift(bw)
+        x = F.layer_norm(x, (self.dim,), eps=1e-6)
+        return x * s[:, None, :] + t[:, None, :]
+
+
+class _TVocosBackbone(tnn.Module):
+    def __init__(self, cin, dim, inter, layers, num_bw=0):
+        super().__init__()
+        self.embed = tnn.Conv1d(cin, dim, 7, padding=3)
+        self.norm = _TAdaLayerNorm(dim, num_bw) if num_bw > 0 else tnn.LayerNorm(dim, eps=1e-6)
+        self.convnext = tnn.ModuleList(
+            [_TConvNeXtBlock(dim, inter, num_bw) for _ in range(layers)]
+        )
+        self.final_layer_norm = tnn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x, bw=None):  # x: (b, cin, n) -> (b, n, dim)
+        x = self.embed(x)
+        h = x.transpose(1, 2)
+        h = self.norm(h, bw) if isinstance(self.norm, _TAdaLayerNorm) else self.norm(h)
+        x = h.transpose(1, 2)
+        for blk in self.convnext:
+            x = blk(x, bw)
+        return self.final_layer_norm(x.transpose(1, 2))
+
+
+class _THead(tnn.Module):
+    def __init__(self, dim, n_fft):
+        super().__init__()
+        self.out = tnn.Linear(dim, n_fft + 2)
+
+
+class _TVocos(tnn.Module):
+    def __init__(self, cin, dim, inter, layers, n_fft, num_bw=0):
+        super().__init__()
+        self.backbone = _TVocosBackbone(cin, dim, inter, layers, num_bw)
+        self.head = _THead(dim, n_fft)
+
+
+class TestVocosRoundtrip:
+    def test_mel_variant(self, tmp_path):
+        from voicebox_tpu.models.vocos import Vocos
+
+        cin, dim, inter, layers, n_fft, hop = 6, 16, 24, 2, 16, 4
+        torch.manual_seed(0)
+        tm = _TVocos(cin, dim, inter, layers, n_fft).eval()
+        path = str(tmp_path / "vocos.pt")
+        torch.save(tm.state_dict(), path)
+
+        model = Vocos(input_channels=cin, dim=dim, intermediate_dim=inter,
+                      num_layers=layers, n_fft=n_fft, hop_length=hop)
+        from voicebox_tpu.utils.port_weights import load_vocos_torch
+
+        model.params = load_vocos_torch(path, model.params)
+
+        rs = np.random.RandomState(0)
+        feats = rs.randn(2, cin, 12).astype(np.float32)  # (b, c, n)
+
+        with torch.no_grad():
+            ht = tm.backbone(torch.from_numpy(feats))  # (b, n, dim)
+            spec_lin = tm.head.out(ht)
+
+        hj = model.backbone.apply(
+            {"params": model.params["backbone"]},
+            jnp.asarray(feats).transpose(0, 2, 1),
+        )
+        np.testing.assert_allclose(_np(hj), ht.numpy(), atol=ATOL)
+
+        out_p = model.params["head"]["out"]
+        lin_j = hj @ out_p["kernel"] + out_p["bias"]
+        np.testing.assert_allclose(_np(lin_j), spec_lin.numpy(), atol=ATOL)
+
+        # the full ported decode (through our iSTFT) stays finite and spans
+        # frames * hop samples (vocos 'same'-padded head contract)
+        wav = model.decode(jnp.asarray(feats))
+        assert wav.shape == (2, 12 * hop)
+        assert np.isfinite(_np(wav)).all()
+
+    def test_encodec_variant_adalayernorm_and_codebook(self, tmp_path):
+        from voicebox_tpu.models.vocos import Vocos
+
+        cin, dim, inter, layers, n_fft, hop = 8, 16, 24, 2, 16, 4
+        q, size, num_bw = 2, 5, 4
+        torch.manual_seed(1)
+        tm = _TVocos(cin, dim, inter, layers, n_fft, num_bw=num_bw).eval()
+        sd = tm.state_dict()
+        cw = torch.randn(q * size, cin)
+        sd["feature_extractor.codebook_weights"] = cw
+        path = str(tmp_path / "vocos_enc.pt")
+        torch.save(sd, path)
+
+        model = Vocos(input_channels=cin, dim=dim, intermediate_dim=inter,
+                      num_layers=layers, n_fft=n_fft, hop_length=hop,
+                      num_bandwidths=num_bw, num_quantizers=q, codebook_size=size)
+        from voicebox_tpu.utils.port_weights import load_vocos_torch
+
+        model.params = load_vocos_torch(path, model.params)
+
+        rs = np.random.RandomState(1)
+        feats = rs.randn(2, cin, 10).astype(np.float32)
+        bw = np.array([2, 1])
+
+        with torch.no_grad():
+            ht = tm.backbone(torch.from_numpy(feats), torch.from_numpy(bw))
+
+        hj = model.backbone.apply(
+            {"params": model.params["backbone"]},
+            jnp.asarray(feats).transpose(0, 2, 1),
+            jnp.asarray(bw),
+        )
+        np.testing.assert_allclose(_np(hj), ht.numpy(), atol=ATOL)
+
+        # codes_to_features == sum of per-quantizer embedding rows
+        codes = rs.randint(0, size, (2, q, 7))
+        fj = model.codes_to_features(jnp.asarray(codes))  # (b, cin, n)
+        expected = (
+            cw.reshape(q, size, cin).numpy()[np.arange(q)[:, None, None],
+                                             codes.transpose(1, 0, 2)]
+            .sum(axis=0)
+            .transpose(0, 2, 1)
+        )
+        np.testing.assert_allclose(_np(fj), expected, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Encodec (SEANet + weight norm + LSTM + RVQ)
+# ---------------------------------------------------------------------------
+
+
+def _wn(mod):
+    return tnn.utils.weight_norm(mod)
+
+
+class _TNormConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        self.conv = _wn(tnn.Conv1d(cin, cout, k, stride=stride))
+
+
+class _TSConv(tnn.Module):
+    """Upstream SConv1d: causal left pad (k - stride), then weight-normed conv
+    (key path `<name>.conv.conv.weight_g/v`)."""
+
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        self.conv = _TNormConv(cin, cout, k, stride)
+        self.pad = k - stride
+
+    def forward(self, x):
+        return self.conv.conv(F.pad(x, (self.pad, 0)))
+
+
+class _TNormConvTr(tnn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        self.convtr = _wn(tnn.ConvTranspose1d(cin, cout, k, stride=stride))
+
+
+class _TSConvTr(tnn.Module):
+    """Upstream SConvTranspose1d: transposed conv, right-trim (k - stride)."""
+
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        self.convtr = _TNormConvTr(cin, cout, k, stride)
+        self.trim = k - stride
+
+    def forward(self, x):
+        y = self.convtr.convtr(x)
+        return y[..., : -self.trim] if self.trim > 0 else y
+
+
+class _TRes(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.block = tnn.Sequential(
+            tnn.ELU(), _TSConv(dim, dim // 2, 3), tnn.ELU(), _TSConv(dim // 2, dim, 1)
+        )
+
+    def forward(self, x):
+        return x + self.block(x)
+
+
+class _TSLSTM(tnn.Module):
+    """Upstream SLSTM: 2-layer LSTM over time with a residual skip."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.lstm = tnn.LSTM(c, c, 2)
+
+    def forward(self, x):  # (b, c, n)
+        y = x.permute(2, 0, 1)
+        y, _ = self.lstm(y)
+        return y.permute(1, 2, 0) + x
+
+
+class _TSEANetEncoder(tnn.Module):
+    def __init__(self, f, dim, ratios):
+        super().__init__()
+        mods = [_TSConv(1, f, 7)]
+        mult = 1
+        for r in reversed(ratios):
+            mods += [
+                _TRes(mult * f),
+                tnn.ELU(),
+                _TSConv(mult * f, mult * 2 * f, 2 * r, r),
+            ]
+            mult *= 2
+        mods += [_TSLSTM(mult * f), tnn.ELU(), _TSConv(mult * f, dim, 7)]
+        self.model = tnn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+class _TSEANetDecoder(tnn.Module):
+    def __init__(self, f, dim, ratios):
+        super().__init__()
+        mult = 2 ** len(ratios)
+        mods = [_TSConv(dim, mult * f, 7), _TSLSTM(mult * f)]
+        for r in ratios:
+            mods += [
+                tnn.ELU(),
+                _TSConvTr(mult * f, mult * f // 2, 2 * r, r),
+                _TRes(mult * f // 2),
+            ]
+            mult //= 2
+        mods += [tnn.ELU(), _TSConv(f, 1, 7)]
+        self.model = tnn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+class _TEncodec(tnn.Module):
+    def __init__(self, f, dim, ratios, q, size):
+        super().__init__()
+        self.encoder = _TSEANetEncoder(f, dim, ratios)
+        self.decoder = _TSEANetDecoder(f, dim, ratios)
+        # quantizer.vq.layers.{i}._codebook.embed buffers
+        self.codebooks = torch.randn(q, size, dim)
+
+    def state_dict_with_codebooks(self):
+        sd = self.state_dict()
+        for i in range(self.codebooks.shape[0]):
+            sd[f"quantizer.vq.layers.{i}._codebook.embed"] = self.codebooks[i]
+        return sd
+
+    def rvq(self, x):  # x: (b, n, dim) -> (quantized, codes)
+        residual = x
+        quantized = torch.zeros_like(x)
+        codes = []
+        for cb in self.codebooks:
+            d = (residual[..., None, :] - cb[None, None]).pow(2).sum(-1)
+            idx = d.argmin(-1)
+            qv = cb[idx]
+            residual = residual - qv
+            quantized = quantized + qv
+            codes.append(idx)
+        return quantized, torch.stack(codes, dim=-1)
+
+
+class TestEncodecRoundtrip:
+    def test_full_roundtrip(self, tmp_path):
+        from voicebox_tpu.models.encodec import EncodecModel
+        from voicebox_tpu.utils.port_weights import load_encodec_torch
+
+        f, dim, ratios, q, size = 4, 8, (2, 2, 2, 2), 2, 11
+        torch.manual_seed(2)
+        tm = _TEncodec(f, dim, ratios, q, size).eval()
+        path = str(tmp_path / "encodec.pt")
+        torch.save(tm.state_dict_with_codebooks(), path)
+
+        model = EncodecModel(dim=dim, n_filters=f, ratios=ratios,
+                             num_quantizers=q, codebook_size=size)
+        model.params = load_encodec_torch(path, model.params, ratios=ratios)
+
+        rs = np.random.RandomState(2)
+        audio = rs.randn(2, 64).astype(np.float32) * 0.3
+
+        with torch.no_grad():
+            lat_t = tm.encoder(torch.from_numpy(audio)[:, None, :])  # (b, dim, n)
+            lat_t = lat_t.transpose(1, 2)  # (b, n, dim)
+            q_t, codes_t = tm.rvq(lat_t)
+            dec_t = tm.decoder(q_t.transpose(1, 2))[:, 0, :]
+
+        lat_j = model.encode(jnp.asarray(audio))
+        np.testing.assert_allclose(_np(lat_j), lat_t.numpy(), atol=ATOL)
+
+        q_j, codes_j, _ = model.rq(lat_j)
+        np.testing.assert_array_equal(_np(codes_j), codes_t.numpy())
+        np.testing.assert_allclose(_np(q_j), q_t.numpy(), atol=ATOL)
+
+        dec_j = model._decode(model.params, q_j)
+        np.testing.assert_allclose(_np(dec_j), dec_t.numpy(), atol=ATOL)
+
+        # decode_codes path (the fused serving program) agrees too
+        dec_codes = model.decode_codes(codes_j)
+        np.testing.assert_allclose(_np(dec_codes), dec_t.numpy(), atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# HuBERT feature extractor + projection
+# ---------------------------------------------------------------------------
+
+
+class _THubertConvLayer(tnn.Module):
+    def __init__(self, cin, cout, k, s, group_norm=False):
+        super().__init__()
+        self.conv = tnn.Conv1d(cin, cout, k, stride=s, bias=False)
+        if group_norm:
+            self.layer_norm = tnn.GroupNorm(cout, cout)
+            tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+            tnn.init.normal_(self.layer_norm.bias, std=0.1)
+
+
+class _THubert(tnn.Module):
+    """transformers-style key layout: feature_extractor.conv_layers.{i}.conv,
+    layer-0 group norm, feature_projection.projection."""
+
+    def __init__(self, c, dim, kernels, strides):
+        super().__init__()
+
+        class FE(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_layers = tnn.ModuleList(
+                    [
+                        _THubertConvLayer(1 if i == 0 else c, c, k, s, group_norm=(i == 0))
+                        for i, (k, s) in enumerate(zip(kernels, strides))
+                    ]
+                )
+
+        class FP(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.projection = tnn.Linear(c, dim)
+
+        self.feature_extractor = FE()
+        self.feature_projection = FP()
+
+    def forward(self, wav):  # (b, n) -> (b, frames, dim)
+        x = wav[:, None, :]
+        for i, layer in enumerate(self.feature_extractor.conv_layers):
+            x = layer.conv(x)
+            if i == 0:
+                x = layer.layer_norm(x)
+            x = F.gelu(x)
+        return self.feature_projection.projection(x.transpose(1, 2))
+
+
+class TestHubertRoundtrip:
+    def test_extractor_and_projection(self, tmp_path):
+        from voicebox_tpu.models.hubert import HubertFeatureExtractor
+        from voicebox_tpu.utils.port_weights import load_hubert_torch
+
+        c, dim = 8, 16
+        kernels = (10, 3, 3, 3, 3, 2, 2)
+        strides = (5, 2, 2, 2, 2, 2, 2)
+        torch.manual_seed(3)
+        tm = _THubert(c, dim, kernels, strides).eval()
+        path = str(tmp_path / "hubert.pt")
+        torch.save(tm.state_dict(), path)
+
+        fe = HubertFeatureExtractor(conv_dim=c)
+        rs = np.random.RandomState(3)
+        wav = rs.randn(2, 1280).astype(np.float32)
+        template = {
+            "feature_extractor": fe.init(jax.random.PRNGKey(0), jnp.asarray(wav))["params"],
+            "proj": {"kernel": jnp.zeros((c, dim)), "bias": jnp.zeros((dim,))},
+        }
+        ported = load_hubert_torch(path, template)
+
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(wav))
+
+        feats = fe.apply({"params": ported["feature_extractor"]}, jnp.asarray(wav))
+        out_j = feats @ ported["proj"]["kernel"] + ported["proj"]["bias"]
+        np.testing.assert_allclose(_np(out_j), out_t.numpy(), atol=ATOL)

@@ -31,6 +31,8 @@ __all__ = [
     "fuse_weight_norm",
     "load_torch_state_dict",
     "load_vocos_torch",
+    "load_encodec_torch",
+    "load_hubert_torch",
 ]
 
 
@@ -116,16 +118,25 @@ def load_vocos_torch(path: str, template_params):
         if b is not None:
             dst["bias"] = jnp.asarray(b)
 
+    def set_norm(dst: dict, prefix: str):
+        """Plain LayerNorm (`<prefix>.weight/.bias`) or the encodec-variant
+        AdaLayerNorm whose scale/shift are nn.Embedding tables
+        (`<prefix>.scale.weight` / `<prefix>.shift.weight`)."""
+        if f"{prefix}.scale.weight" in sd:
+            dst["scale"] = jnp.asarray(sd[f"{prefix}.scale.weight"])
+            dst["shift"] = jnp.asarray(sd[f"{prefix}.shift.weight"])
+        else:
+            set_ln(dst, prefix)
+
     bb = _as_mutable(p["backbone"])
     set_conv(bb["embed"], "backbone.embed")
-    if "norm_in" in bb and "scale" in bb["norm_in"]:
-        set_ln(bb["norm_in"], "backbone.norm")
+    if "norm_in" in bb:
+        set_norm(bb["norm_in"], "backbone.norm")
     i = 0
     while f"block_{i}" in bb:
         blk = bb[f"block_{i}"]
         set_conv(blk["dwconv"], f"backbone.convnext.{i}.dwconv")
-        if "scale" in blk.get("norm", {}):
-            set_ln(blk["norm"], f"backbone.convnext.{i}.norm")
+        set_norm(blk["norm"], f"backbone.convnext.{i}.norm")
         set_dense(blk["pwconv1"], f"backbone.convnext.{i}.pwconv1")
         set_dense(blk["pwconv2"], f"backbone.convnext.{i}.pwconv2")
         g = fetch(f"backbone.convnext.{i}.gamma")
@@ -140,6 +151,15 @@ def load_vocos_torch(path: str, template_params):
     out = dict(p)
     out["backbone"] = bb
     out["head"] = hd
+    # encodec variant: codes->features codebooks, stored upstream as one
+    # concatenated (q*size, c) tensor
+    if "feature_extractor.codebook_weights" in sd and "codebook" in out:
+        q, size, c = np.asarray(out["codebook"]).shape
+        cw = sd["feature_extractor.codebook_weights"]
+        assert cw.shape == (q * size, c), (
+            f"codebook_weights {cw.shape} != expected {(q * size, c)}"
+        )
+        out["codebook"] = jnp.asarray(cw.reshape(q, size, c))
     return out
 
 
@@ -243,7 +263,9 @@ def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
         for layer in (0, 1):
             key = f"{lstm_prefix}.weight_ih_l{layer}"
             if key in sd:
-                tree["lstm"][f"lstm_{layer}"]["cell"] = _split_torch_lstm(
+                # flax tree: nn.RNN is param-transparent, so the cell scope is
+                # the auto-named OptimizedLSTMCell_{i} directly under 'lstm'
+                tree["lstm"][f"OptimizedLSTMCell_{layer}"] = _split_torch_lstm(
                     sd, lstm_prefix, layer
                 )
         set_conv(tree["head"]["conv"],
@@ -265,8 +287,10 @@ def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
 
 def load_hubert_torch(path: str, template_params):
     """Port a fairseq/transformers HuBERT state dict into our HubertWithKmeans
-    param tree (conv feature extractor + post-proj; transformer blocks mapped
-    by position)."""
+    param tree. Maps the conv feature extractor (kernels + the layer-0
+    group norm) and the feature projection; the transformer encoder and
+    k-means centroids keep their initialisation unless supplied separately
+    (`kmeans_path` on HubertWithKmeans)."""
     import jax.numpy as jnp
 
     sd = load_torch_state_dict(path)
@@ -282,6 +306,14 @@ def load_hubert_torch(path: str, template_params):
                 p["feature_extractor"][f"conv_{i}"]["kernel"] = jnp.asarray(
                     torch_conv1d_to_flax(sd[f"{prefix}.weight"])
                 )
+    # layer-0 group norm (feat_extract_norm="group" in hubert-base)
+    for prefix in (
+        "feature_extractor.conv_layers.0.layer_norm",
+        "hubert.feature_extractor.conv_layers.0.layer_norm",
+    ):
+        if f"{prefix}.weight" in sd:
+            p["feature_extractor"]["group_norm"]["scale"] = jnp.asarray(sd[f"{prefix}.weight"])
+            p["feature_extractor"]["group_norm"]["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
     for prefix in ("feature_projection.projection", "hubert.feature_projection.projection"):
         if f"{prefix}.weight" in sd:
             p["proj"]["kernel"] = jnp.asarray(torch_linear_to_dense(sd[f"{prefix}.weight"]))

@@ -65,21 +65,106 @@ class TestMel:
         assert fb.shape == (513, 100)
         assert (np.asarray(fb) >= 0).all()
 
-    def test_parity_with_torchaudio_if_available(self):
-        torchaudio = pytest.importorskip("torchaudio")
-        import torch
+    def test_parity_with_golden_fbanks(self):
+        """Golden reference: torchaudio when importable, else an INDEPENDENT
+        f64 per-filter triangle evaluation of the documented MelScale contract
+        (HTK scale, norm=None) — a different code path from the vectorized
+        slope formulation in ops/stft.py."""
+        try:
+            import torchaudio
 
-        fb_t = torchaudio.functional.melscale_fbanks(
-            513, 0.0, 8000.0, 100, 24000, norm=None, mel_scale="htk"
-        )
+            expected = torchaudio.functional.melscale_fbanks(
+                513, 0.0, 8000.0, 100, 24000, norm=None, mel_scale="htk"
+            ).numpy()
+        except ImportError:
+            expected = _golden_melscale_fbanks(513, 0.0, 8000.0, 100, 24000)
         fb = melscale_fbanks(513, 0.0, 8000.0, 100, 24000)
-        np.testing.assert_allclose(fb, fb_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(fb, expected, atol=1e-5)
 
     def test_mel_spectrogram_shape(self):
         x = _tone()  # (2, 4800)
         mel = mel_spectrogram(jnp.asarray(x))
         # frames = 4800 // 160 + 1 (center)
         assert mel.shape == (2, 100, 4800 // 160 + 1)
+
+    def test_mel_chain_parity_with_numpy_fft(self):
+        """The full MelVoco analysis chain (reflect pad -> hann STFT -> power
+        -> mel -> dB) vs an independent np.fft.rfft implementation at f64 —
+        ops/stft.py uses matmul-DFT and slice-built reflect padding, so this
+        cross-checks both against the canonical FFT formulation
+        (reference chain: voicebox_pytorch.py:518-541)."""
+        x = _tone(dur=0.1)
+        n_fft, win, hop = 1024, 640, 160
+
+        # golden: numpy f64 FFT chain
+        xp = np.pad(x.astype(np.float64), ((0, 0), (n_fft // 2, n_fft // 2)),
+                    mode="reflect")
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / win)
+        lpad = (n_fft - win) // 2
+        w = np.pad(w, (lpad, n_fft - win - lpad))
+        frames = np.stack(
+            [xp[:, i * hop : i * hop + n_fft] for i in range((xp.shape[1] - n_fft) // hop + 1)],
+            axis=1,
+        )
+        spec = np.abs(np.fft.rfft(frames * w, axis=-1)) ** 2  # (b, T, freq)
+        fb = _golden_melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, 100, 24000)
+        mel_db_golden = 10.0 * np.log10(np.clip(spec @ fb, 1e-10, None))
+
+        mel = mel_spectrogram(jnp.asarray(x), n_fft=n_fft, win_length=win,
+                              hop_length=hop)  # (b, mel, T)
+        mel_db = amplitude_to_db(mel).transpose(0, 2, 1)
+        # rtol absorbs the f32-matmul-DFT vs f64-FFT noise that log10 blows up
+        # in near-silent bins (<= 0.45% relative there; in-band bins match to
+        # hundredths of a dB)
+        np.testing.assert_allclose(
+            np.asarray(mel_db), mel_db_golden, rtol=5e-3, atol=0.1
+        )
+
+
+def _golden_melscale_fbanks(n_freqs, f_min, f_max, n_mels, sr):
+    """Independent f64 triangle filterbank: per-filter (rise, fall) evaluation
+    of the HTK-mel contract torchaudio MelScale documents."""
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    freqs = np.linspace(0, sr // 2, n_freqs).astype(np.float64)
+    pts = mel2hz(np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2))
+    fb = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        rise = (freqs - lo) / (c - lo)
+        fall = (hi - freqs) / (hi - c)
+        fb[:, m] = np.clip(np.minimum(rise, fall), 0.0, None)
+    return fb.astype(np.float32)
+
+
+def _golden_resample(x, orig_freq, new_freq, L=6, rolloff=0.99):
+    """Independent f64 windowed-sinc interpolation, evaluated as a DIRECT
+    O(n_out * n_in) sum (no polyphase kernels, no conv): y(t_i) =
+    scale * sum_j x_j hann^2(tau) sinc(tau), tau = (t_j - t_i) * base_freq.
+    This is the continuous-time model torchaudio's resample documents."""
+    import math as _math
+
+    g = _math.gcd(orig_freq, new_freq)
+    orig, new = orig_freq // g, new_freq // g
+    base = min(orig, new) * rolloff
+    scale = base / orig
+    n = x.shape[-1]
+    out_len = int(_math.ceil(new * n / orig))
+    j = np.arange(n, dtype=np.float64)
+    y = np.zeros(x.shape[:-1] + (out_len,), dtype=np.float64)
+    xd = x.astype(np.float64)
+    for i in range(out_len):
+        tau = (j / orig - i / new) * base
+        tau = np.clip(tau, -L, L)
+        window = np.cos(tau * np.pi / (2 * L)) ** 2
+        core = np.sinc(tau)  # np.sinc(x) = sin(pi x)/(pi x)
+        y[..., i] = scale * np.sum(xd * window * core, axis=-1)
+    return y.astype(np.float32)
 
 
 class TestDB:
@@ -147,14 +232,29 @@ class TestResample:
         m = slice(100, -100)
         assert np.corrcoef(y[m], expected[m])[0, 1] > 0.999
 
-    def test_parity_with_torchaudio_if_available(self):
-        torchaudio = pytest.importorskip("torchaudio")
-        import torch
+    def test_parity_with_golden_sinc_interpolation(self):
+        """Golden reference: torchaudio when importable, else the independent
+        direct-sum sinc interpolation (`_golden_resample`) — exercises the
+        polyphase kernel construction, padding, and phase/frame interleaving
+        of ops/stft.py::resample against the continuous-time definition."""
+        x = _tone(dur=0.025)  # short: the golden path is O(n_out * n_in)
+        try:
+            import torch
+            import torchaudio
 
-        x = _tone(dur=0.1)
+            expected = torchaudio.functional.resample(
+                torch.from_numpy(x), 24000, 16000
+            ).numpy()
+        except ImportError:
+            expected = _golden_resample(x, 24000, 16000)
         y = resample(jnp.asarray(x), 24000, 16000)
-        y_t = torchaudio.functional.resample(torch.from_numpy(x), 24000, 16000)
-        np.testing.assert_allclose(np.asarray(y), y_t.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y), expected, atol=1e-4)
+
+    def test_parity_with_golden_sinc_upsample(self):
+        x = _tone(dur=0.02, sr=16000)
+        expected = _golden_resample(x, 16000, 24000)
+        y = resample(jnp.asarray(x), 16000, 24000)
+        np.testing.assert_allclose(np.asarray(y), expected, atol=1e-4)
 
 
 class TestMetrics:

@@ -38,6 +38,62 @@ class TestTokenizer:
         np.testing.assert_array_equal(a, b)
 
 
+class _StubEspeakBackend:
+    """Stands in for phonemizer's EspeakBackend: text -> IPA string."""
+
+    def __init__(self, outputs):
+        self.outputs = outputs
+        self.calls = []
+
+    def phonemize(self, texts):
+        self.calls.append(list(texts))
+        return [self.outputs[t] for t in texts]
+
+
+class TestEspeakTokenizer:
+    """Covers the IPA-symbol mapping + <unk> behaviour of EspeakTokenizer
+    (reference: NS2 espeak Tokenizer, voicebox_pytorch.py:636-642) via an
+    injected stub backend — espeak-ng is not in this image."""
+
+    def _tok(self, outputs):
+        from voicebox_tpu.utils.tokenizer import EspeakTokenizer
+
+        return EspeakTokenizer(backend=_StubEspeakBackend(outputs))
+
+    def test_ipa_mapping_stable_and_padded(self):
+        tok = self._tok({"hello": "həlˈoʊ", "a": "ˈeɪ"})
+        ids = tok.texts_to_tensor_ids(["hello", "a"])
+        assert ids.shape == (2, 6)
+        # every known IPA symbol maps to a stable positive id
+        assert (ids[0] > 0).all()
+        # shorter row pads with -1 (reference pad convention, :806-811)
+        assert (ids[1, 3:] == -1).all()
+        # determinism across instances (frozen table)
+        ids2 = self._tok({"hello": "həlˈoʊ", "a": "ˈeɪ"}).texts_to_tensor_ids(
+            ["hello", "a"]
+        )
+        np.testing.assert_array_equal(ids, ids2)
+
+    def test_unknown_symbol_maps_to_unk(self):
+        tok = self._tok({"x": "ⵣa"})  # tifinagh char not in the IPA table
+        ids = tok.texts_to_tensor_ids(["x"])
+        assert ids[0, 0] == 0  # <unk>
+        assert ids[0, 1] > 0  # 'a' is known
+
+    def test_max_length_truncates(self):
+        tok = self._tok({"long": "əəəəəəəə"})
+        ids = tok.texts_to_tensor_ids(["long"], max_length=3)
+        assert ids.shape == (1, 3)
+
+    def test_vocab_size_bounds_embedding(self):
+        tok = self._tok({})
+        # ids can never out-index an embedding sized from vocab_size
+        from voicebox_tpu.utils.tokenizer import _IPA_SYMBOLS
+
+        assert tok.vocab_size >= len(_IPA_SYMBOLS)
+        assert tok.vocab_size >= 256  # reference default embedding headroom
+
+
 class TestAligner:
     def test_shapes_and_normalisation(self, rng):
         al = Aligner(dim_in=13, dim_hidden=32, attn_channels=13)

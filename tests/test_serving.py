@@ -1,5 +1,7 @@
 """Tests for the bucketed serving engine: no compiles on the request path
-after warmup, bucket quantisation, output trimming."""
+after warmup (asserted via a jax compile-event counter), bucket quantisation,
+per-request lengths/trimming, and both conditioning pipelines (semantic +
+duration-predictor)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,6 +9,7 @@ import numpy as np
 import pytest
 
 from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+from voicebox_tpu.models.duration import DurationPredictor
 from voicebox_tpu.models.hubert import HubertWithKmeans
 from voicebox_tpu.models.text_to_semantic import TextToSemantic
 from voicebox_tpu.serving import TTSEngine
@@ -30,6 +33,41 @@ def engine():
     )
 
 
+@pytest.fixture(scope="module")
+def dp_engine():
+    tok = GraphemeTokenizer()
+    dp = DurationPredictor(tokenizer=tok, dim=32, depth=2, dim_phoneme_emb=32,
+                           dim_head=8, heads=4, aligner_dim_in=16,
+                           aligner_attn_channels=16)
+    dp.init_params(jax.random.PRNGKey(0), seq_len=16, n_phonemes=8)
+    vb = VoiceBox(dim_in=32, dim=32, depth=2, dim_head=8, heads=4,
+                  dim_cond_emb=32, num_register_tokens=2,
+                  condition_on_text=True, num_cond_tokens=tok.vocab_size)
+    cfm = ConditionalFlowMatcherWrapper(vb, duration_predictor=dp)
+    cfm.init_params(jax.random.PRNGKey(1), seq_len=12, batch=1)
+    return TTSEngine(
+        cfm, text_buckets=(8,), batch_buckets=(1, 2), steps=2,
+        decode_to_audio=False, frames_per_token=4,
+    )
+
+
+class _CompileCounter:
+    """Counts XLA backend compiles via jax's monitoring events."""
+
+    def __init__(self):
+        self.count = 0
+        from jax._src import monitoring
+
+        def listener(name, *args, **kwargs):
+            if name == "/jax/core/compile/backend_compile_duration":
+                self.count += 1
+
+        monitoring.register_event_duration_secs_listener(listener)
+
+
+_COMPILES = _CompileCounter()
+
+
 class TestEngine:
     def test_warmup_compiles_all_buckets(self, engine):
         secs = engine.warmup()
@@ -47,20 +85,55 @@ class TestEngine:
         out = engine.synthesize(["one", "two"])
         assert out.shape[0] == 2
 
-    def test_requires_text_to_semantic(self, rng):
+    def test_requires_a_conditioning_pipeline(self, rng):
         vb = VoiceBox(dim_in=16, dim=16, depth=2, dim_head=8, heads=2,
                       condition_on_text=False)
         cfm = ConditionalFlowMatcherWrapper(vb)
         cfm.init_params(rng, seq_len=8, batch=1)
-        with pytest.raises(AssertionError, match="text->semantic"):
+        with pytest.raises(AssertionError, match="conditioning pipeline"):
             TTSEngine(cfm)
 
     def test_no_recompile_after_warmup(self, engine):
         engine.warmup()
-        n_before = len(engine.wrapper.text_to_semantic._samplers)
+        before = _COMPILES.count
         engine.synthesize(["in buckets"])  # 10 graphemes <= text bucket 16
-        n_after = len(engine.wrapper.text_to_semantic._samplers)
-        assert n_after == n_before  # no new compiled programs
+        engine.synthesize(["a", "bb"])  # batch-2 bucket, also warmed
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the request path"
+        )
+
+    def test_return_lengths_and_trim(self, engine):
+        engine.warmup()
+        out, lengths = engine.synthesize(["hi", "hello"], return_lengths=True)
+        lengths = np.asarray(lengths)
+        assert out.shape[0] == 2 and lengths.shape == (2,)
+        assert (lengths > 0).all() and (lengths <= out.shape[1]).all()
+
+        clips = engine.synthesize(["hi", "hello"], trim=True)
+        assert isinstance(clips, list) and len(clips) == 2
+        for c in clips:
+            assert 0 < c.shape[0] <= out.shape[1]  # latents: time leading
+
+
+class TestDurationEngine:
+    def test_warmup_and_serve(self, dp_engine):
+        dp_engine.warmup()
+        before = _COMPILES.count
+        out, lengths = dp_engine.synthesize(["hello"], return_lengths=True)
+        # frame horizon = text bucket 8 * frames_per_token 4 = 32, static
+        assert out.shape == (1, 32, 32)
+        lengths = np.asarray(lengths)
+        assert 0 < lengths[0] <= 32
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the DP request path"
+        )
+
+    def test_trim_uses_duration_sum(self, dp_engine):
+        dp_engine.warmup()
+        clips = dp_engine.synthesize(["hey", "hi"], trim=True)
+        assert len(clips) == 2
+        for c in clips:
+            assert 0 < c.shape[0] <= 32
 
 
 class TestOverflowHandling:
@@ -94,3 +167,13 @@ class TestSampleLengths:
         lengths = np.asarray(lengths)
         assert lengths.shape == (1,)
         assert 0 < lengths[0] <= out.shape[1]
+
+    def test_dp_sample_static_frame_length(self, dp_engine):
+        """cfm.sample through the duration pipeline with a static horizon:
+        same shape for different texts (no per-request recompiles)."""
+        cfm = dp_engine.wrapper
+        a = cfm.sample(texts=["abc"], steps=2, frame_length=32,
+                       decode_to_audio=False)
+        b = cfm.sample(texts=["longer text"], steps=2, frame_length=32,
+                       decode_to_audio=False)
+        assert a.shape == b.shape == (1, 32, 32)

@@ -406,6 +406,10 @@ class ConditionalFlowMatcherWrapper:
         spec_decode: bool = False,
         spec_decode_gamma: int = 5,
         return_lengths: bool = False,
+        # duration-predictor pipeline only: a STATIC frame horizon for the
+        # aligned phoneme ids (serving buckets — keeps shapes fixed so the
+        # request path never recompiles); None = tight dynamic length
+        frame_length: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
@@ -440,6 +444,7 @@ class ConditionalFlowMatcherWrapper:
 
         self_attn_mask = None
         cond_token_ids = None
+        dp_frames = None
 
         if self.condition_on_text:
             if self.text_to_semantic is not None or semantic_token_ids is not None:
@@ -462,9 +467,16 @@ class ConditionalFlowMatcherWrapper:
                         texts=texts,
                         phoneme_ids=phoneme_ids,
                         return_aligned_phoneme_ids=True,
+                        total_length=frame_length,
                     )
                 )
                 cond_token_ids = jnp.asarray(aligned_phoneme_ids)
+                # speech span = sum of (rounded, >=1) predicted durations —
+                # the validity signal for return_lengths
+                dp_frames = jnp.sum(
+                    jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32),
+                    axis=-1,
+                )
 
             cond_tokens_seq_len = cond_token_ids.shape[-1]
             cond_target_length = cond_tokens_seq_len
@@ -539,6 +551,8 @@ class ConditionalFlowMatcherWrapper:
             else:
                 frames = valid_tokens.astype(jnp.int32)
             frames = jnp.minimum(frames, n_frames)
+        elif dp_frames is not None:  # duration pipeline: speech span from durations
+            frames = jnp.minimum(dp_frames, n_frames)
         else:  # no validity mask (precomputed ids): everything is valid
             frames = jnp.full((out.shape[0],), n_frames, dtype=jnp.int32)
         if out_is_audio and codec is not None:

@@ -371,6 +371,7 @@ class DurationPredictor:
         phoneme_ids=None,
         cond_scale: float = 1.0,
         return_aligned_phoneme_ids: bool = False,
+        total_length: Optional[int] = None,
         params=None,
         **kwargs,
     ):
@@ -382,14 +383,28 @@ class DurationPredictor:
             assert self.tokenizer is not None and texts is not None
             phoneme_ids = jnp.asarray(self.tokenizer.texts_to_tensor_ids(texts))
         phoneme_ids = jnp.asarray(phoneme_ids)
+        if cond is None:
+            # no voice prompt: null-conditioned prediction (zero cond latents,
+            # fully dropped — CFG degenerates to the unconditional branch,
+            # the analogue of the wrapper's zeros-cond fallback,
+            # voicebox_pytorch.py:1259)
+            b = phoneme_ids.shape[0]
+            cond_dim = (
+                self.audio_enc_dec.latent_dim
+                if self.audio_enc_dec is not None else self.net.dim
+            )
+            cond = jnp.zeros((b, phoneme_ids.shape[1], cond_dim))
+            kwargs.setdefault("cond_drop_mask", jnp.ones((b,), dtype=bool))
+            cond_scale = 1.0
         cond = jnp.asarray(cond)
 
         b = cond.shape[0]
         if cond_scale == 1.0:
+            drop = kwargs.pop("cond_drop_mask", jnp.zeros((b,), dtype=bool))
             durations = self._apply_jit(
                 {"params": params}, cond=cond, phoneme_ids=phoneme_ids,
                 cond_drop_prob=0.0,
-                cond_drop_mask=jnp.zeros((b,), dtype=bool), train=False, **kwargs,
+                cond_drop_mask=drop, train=False, **kwargs,
             )
         else:
             cond2 = jnp.concatenate([cond, cond], axis=0)
@@ -406,5 +421,9 @@ class DurationPredictor:
 
         if not return_aligned_phoneme_ids:
             return durations
-        aligned = align_phoneme_ids_with_durations(phoneme_ids, durations)
+        # an explicit total_length keeps the aligned-id shape STATIC (serving
+        # buckets: no per-request recompiles, no host sync on jnp.max)
+        aligned = align_phoneme_ids_with_durations(
+            phoneme_ids, durations, total_length=total_length
+        )
         return durations, aligned

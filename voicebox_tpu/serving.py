@@ -7,9 +7,20 @@ so the engine quantises every request onto a fixed grid of (batch, length)
 buckets and pre-compiles each bucket once at startup (`warmup()`), then serves
 from the cache with padding + masking.
 
+Both reference conditioning pipelines are served
+(voicebox_pytorch.py:1213-1241):
+
+* **semantic** (Spear-TTS TextToSemantic attached): texts -> AR-generated
+  semantic ids in a fixed buffer -> CFM sample;
+* **duration** (DurationPredictor attached): texts/phonemes -> predicted
+  durations -> aligned ids at a STATIC frame horizon (`frame_length`) ->
+  CFM sample. The horizon bucket is a deterministic function of the text
+  bucket, so warmup covers every request-path program.
+
     engine = TTSEngine(cfm_wrapper, text_buckets=(64, 128), batch_buckets=(1, 4))
     engine.warmup()                       # compile all bucket programs
-    audio = engine.synthesize(["hello world"])   # ms-latency, no compiles
+    audio, lengths = engine.synthesize(["hello"], return_lengths=True)
+    clips = engine.synthesize(["hello"], trim=True)   # list of trimmed arrays
 """
 
 from __future__ import annotations
@@ -36,14 +47,23 @@ class TTSEngine:
         max_semantic_token_ids: int = 1024,
         spec_decode: bool = True,
         decode_to_audio: bool = True,
+        # duration pipeline: frame horizon = frames_per_token * text bucket,
+        # rounded up into frame_buckets
+        frames_per_token: int = 8,
+        frame_buckets: Optional[Sequence[int]] = None,
     ):
         assert cfm_wrapper.params is not None, "wrapper must be initialised"
-        assert cfm_wrapper.text_to_semantic is not None, (
-            "TTSEngine serves the text->semantic pipeline; the duration-"
-            "predictor pipeline needs a per-request voice prompt — call "
-            "wrapper.sample(cond=..., phoneme_ids=...) directly for that"
+        assert (
+            cfm_wrapper.text_to_semantic is not None
+            or cfm_wrapper.duration_predictor is not None
+        ), (
+            "TTSEngine needs a conditioning pipeline: attach a TextToSemantic "
+            "(text->semantic) or a DurationPredictor to the wrapper"
         )
         self.wrapper = cfm_wrapper
+        self.mode = (
+            "semantic" if cfm_wrapper.text_to_semantic is not None else "duration"
+        )
         self.text_buckets = tuple(sorted(text_buckets))
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.steps = steps
@@ -51,13 +71,18 @@ class TTSEngine:
         self.max_semantic_token_ids = max_semantic_token_ids
         self.spec_decode = spec_decode
         self.decode_to_audio = decode_to_audio
+        self.frames_per_token = frames_per_token
+        if frame_buckets is None:
+            frame_buckets = tuple(b * frames_per_token for b in self.text_buckets)
+        self.frame_buckets = tuple(sorted(frame_buckets))
         self._warm = False
 
     # ------------------------------------------------------------------
 
     def _tokenizer(self):
-        # __init__ asserts text_to_semantic is present
-        return self.wrapper.text_to_semantic.tokenizer
+        if self.mode == "semantic":
+            return self.wrapper.text_to_semantic.tokenizer
+        return self.wrapper.duration_predictor.tokenizer
 
     def _bucket(self, value: int, buckets: Sequence[int]) -> int:
         for b in buckets:
@@ -72,14 +97,43 @@ class TTSEngine:
         out[:b, :n] = ids[:b, :n]
         return out
 
+    def _sample_kwargs(self, ids: np.ndarray) -> dict:
+        if self.mode == "semantic":
+            return {
+                "text_token_ids": jnp.asarray(ids),
+                "max_semantic_token_ids": self.max_semantic_token_ids,
+                "spec_decode": self.spec_decode,
+            }
+        # duration pipeline: pad id -1 -> clamp handled by the predictor;
+        # the static frame horizon is derived from the text bucket
+        frame_length = self._bucket(
+            ids.shape[1] * self.frames_per_token, self.frame_buckets
+        )
+        return {
+            "phoneme_ids": jnp.asarray(ids),
+            "frame_length": frame_length,
+        }
+
     # ------------------------------------------------------------------
 
-    def synthesize(self, texts: List[str], rng=None):
+    def synthesize(
+        self,
+        texts: List[str],
+        rng=None,
+        return_lengths: bool = False,
+        trim: bool = False,
+    ):
         """texts -> audio (or latents when decode_to_audio=False), padded to
-        the enclosing (batch, text-length) bucket and trimmed back. Requests
-        beyond the largest batch bucket are served in successive chunks (every
-        text gets audio); a text longer than the largest text bucket raises —
-        silent truncation would return cut-off speech."""
+        the enclosing (batch, text-length) bucket and trimmed back along the
+        batch dim. Requests beyond the largest batch bucket are served in
+        successive chunks (every text gets audio); a text longer than the
+        largest text bucket raises — silent truncation would return cut-off
+        speech.
+
+        The time axis always spans the full bucket horizon (static shapes);
+        `return_lengths=True` additionally returns per-request valid lengths
+        (samples of audio / frames of latents), and `trim=True` returns a
+        LIST of per-request numpy arrays cut to those lengths instead."""
         tok = self._tokenizer()
         ids_all = np.asarray(tok.texts_to_tensor_ids(list(texts)))
 
@@ -93,7 +147,7 @@ class TTSEngine:
 
         n_req = len(texts)
         max_batch = self.batch_buckets[-1]
-        outs = []
+        outs, lens = [], []
         for start in range(0, n_req, max_batch):
             chunk = ids_all[start : start + max_batch]
             batch = self._bucket(chunk.shape[0], self.batch_buckets)
@@ -102,20 +156,27 @@ class TTSEngine:
                 rng, chunk_rng = jax.random.split(rng)
             else:
                 chunk_rng = None
-            out = self.wrapper.sample(
-                **self._id_kwarg(ids),
+            out, out_lens = self.wrapper.sample(
+                **self._sample_kwargs(ids),
                 steps=self.steps,
                 cond_scale=self.cond_scale,
-                max_semantic_token_ids=self.max_semantic_token_ids,
-                spec_decode=self.spec_decode,
                 decode_to_audio=self.decode_to_audio,
+                return_lengths=True,
                 rng=chunk_rng,
             )
             outs.append(out[: chunk.shape[0]])
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-
-    def _id_kwarg(self, ids: np.ndarray) -> dict:
-        return {"text_token_ids": jnp.asarray(ids)}
+            lens.append(out_lens[: chunk.shape[0]])
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        lengths = lens[0] if len(lens) == 1 else jnp.concatenate(lens, axis=0)
+        if trim:
+            out_np, lengths_np = np.asarray(out), np.asarray(lengths)
+            if self.decode_to_audio:  # audio: time is the LAST axis
+                return [o[..., :n] for o, n in zip(out_np, lengths_np)]
+            # latents (n, d) / codes (n, q): time is the leading axis
+            return [o[:n] for o, n in zip(out_np, lengths_np)]
+        if return_lengths:
+            return out, lengths
+        return out
 
     def warmup(self, verbose: bool = False) -> float:
         """Pre-compile every (batch, text-length) bucket; returns seconds."""
@@ -126,13 +187,12 @@ class TTSEngine:
                 ids = self._pad_ids(
                     self._tokenizer().texts_to_tensor_ids(dummy), batch, length
                 )
-                out = self.wrapper.sample(
-                    **self._id_kwarg(ids),
+                out, _ = self.wrapper.sample(
+                    **self._sample_kwargs(ids),
                     steps=self.steps,
                     cond_scale=self.cond_scale,
-                    max_semantic_token_ids=self.max_semantic_token_ids,
-                    spec_decode=self.spec_decode,
                     decode_to_audio=self.decode_to_audio,
+                    return_lengths=True,
                 )
                 jnp.asarray(out).block_until_ready()
                 if verbose:

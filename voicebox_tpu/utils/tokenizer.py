@@ -80,16 +80,22 @@ _IPA_SYMBOLS = (
 )
 
 
-class EspeakTokenizer:  # pragma: no cover - requires espeak-ng
+class EspeakTokenizer:
     """IPA-phoneme tokenizer via phonemizer/espeak-ng, over the frozen
-    `_IPA_SYMBOLS` table (see above: run-stable ids, bounded vocab)."""
+    `_IPA_SYMBOLS` table (see above: run-stable ids, bounded vocab).
 
-    def __init__(self, language: str = "en-us"):
-        from phonemizer.backend import EspeakBackend
+    `backend` is injectable: anything with `.phonemize(list[str]) ->
+    list[str]` (IPA strings). Default constructs the espeak-ng backend —
+    gated on the phonemizer package being installed."""
 
-        self.backend = EspeakBackend(
-            language, preserve_punctuation=True, with_stress=True
-        )
+    def __init__(self, language: str = "en-us", backend=None):
+        if backend is None:  # pragma: no cover - requires espeak-ng
+            from phonemizer.backend import EspeakBackend
+
+            backend = EspeakBackend(
+                language, preserve_punctuation=True, with_stress=True
+            )
+        self.backend = backend
         self._vocab: List[str] = list(_IPA_SYMBOLS)
         self._to_id = {s: i for i, s in enumerate(self._vocab)}
 

@@ -163,6 +163,37 @@ class TestScanLayers:
         g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
         assert all(jnp.isfinite(t).all() for t in jax.tree.leaves(g))
 
+    def test_remat_policy_grads_match_no_remat(self, rng):
+        """Selective remat ('dots': save matmul outputs, recompute elementwise)
+        changes only WHAT is cached for backward — loss and grads must equal
+        the un-remat'd model."""
+
+        def make(**kw):
+            return Transformer(dim=32, depth=4, dim_head=8, heads=4,
+                               use_unet_skip_connection=True, attn_qk_norm=True,
+                               **kw)
+
+        x = jax.random.normal(rng, (2, 8, 32))
+        base = make()
+        params = base.init(rng, x)
+        loss = lambda mod: jax.jit(
+            jax.value_and_grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))
+        )(params)
+
+        l0, g0 = loss(base)
+        for policy in (None, "dots", "dots_no_batch"):
+            l1, g1 = loss(make(remat=True, remat_policy=policy))
+            np.testing.assert_allclose(l1, l0, rtol=1e-5)
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_remat_policy_unknown_raises(self, rng):
+        mod = Transformer(dim=32, depth=2, dim_head=8, heads=4, remat=True,
+                          remat_policy="bogus")
+        x = jax.random.normal(rng, (1, 4, 32))
+        with pytest.raises(AssertionError, match="remat_policy"):
+            mod.init(rng, x)
+
 
 class TestAttnDropout:
     def test_dropout_stochastic_in_training(self, rng):

@@ -51,6 +51,24 @@ from .primitives import (
 __all__ = ["Transformer", "pipeline_stage_modules"]
 
 
+def _resolve_remat_policy(name: Optional[str]):
+    """Named `jax.checkpoint` policies for selective rematerialisation.
+
+    None  -> full recompute (jax default): lowest memory, highest recompute.
+    'dots'-> save matmul outputs, recompute only cheap elementwise/softmax/
+             norm work in the backward pass — costs activation memory roughly
+             equal to the saved dot outputs but removes the expensive MXU
+             recompute from the remat bill."""
+    if name is None:
+        return None
+    table = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    assert name in table, f"remat_policy {name!r} not in {sorted(table)}"
+    return table[name]
+
+
 def pipeline_stage_modules(transformer: "Transformer", deterministic: bool = True):
     """(front, back) single-row `_HalfStack` modules whose param trees match
     one row of `transformer`'s `scan_layers=True` stacks — the building block
@@ -161,6 +179,7 @@ class _HalfStack(nn.Module):
     skip_scale: float
     deterministic: bool
     remat: bool
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, skip, mask, rotary_emb, norm_cond):
@@ -170,7 +189,10 @@ class _HalfStack(nn.Module):
             )
         block_cls = _Block
         if self.remat:
-            block_cls = nn.remat(_Block, static_argnums=(5,))
+            block_cls = nn.remat(
+                _Block, static_argnums=(5,),
+                policy=_resolve_remat_policy(self.remat_policy),
+            )
         y = block_cls(
             dim=self.dim,
             dim_head=self.dim_head,
@@ -216,6 +238,10 @@ class Transformer(nn.Module):
     use_gateloop_layers: bool = False
     rotary_theta: float = 50000.0
     remat: bool = False
+    # named jax.checkpoint policy for remat=True: None = full recompute,
+    # 'dots' = save matmul outputs, recompute only elementwise (see
+    # _resolve_remat_policy; measured tradeoff in PERFORMANCE.md)
+    remat_policy: Optional[str] = None
     scan_layers: bool = False
     # sequence parallelism: name of the mesh axis the MAIN token axis is
     # sharded over (the module must then run inside `shard_map`). Register
@@ -285,7 +311,10 @@ class Transformer(nn.Module):
 
         block_cls = _Block
         if self.remat:
-            block_cls = nn.remat(_Block, static_argnums=(5,))
+            block_cls = nn.remat(
+                _Block, static_argnums=(5,),
+                policy=_resolve_remat_policy(self.remat_policy),
+            )
 
         skip_connects = []
         for ind in range(self.depth):
@@ -343,6 +372,7 @@ class Transformer(nn.Module):
             skip_scale=skip_scale,
             deterministic=deterministic,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
 
     def _scan_forward(self, x, mask, rotary_emb, norm_cond, deterministic,

@@ -67,6 +67,7 @@ class VoiceBox(nn.Module):
     condition_on_text: bool = True
     pad_to_lane_multiple: bool = True  # 128-lane token-axis alignment (see __call__)
     remat: bool = False
+    remat_policy: Optional[str] = None  # see Transformer.remat_policy
     scan_layers: bool = False
     # sequence parallelism: mesh axis the latent time axis is sharded over.
     # The module must then run inside `shard_map` (see
@@ -302,6 +303,7 @@ class VoiceBox(nn.Module):
             adaptive_rmsnorm_cond_dim_in=time_hidden_dim,
             use_gateloop_layers=self.use_gateloop_layers,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             scan_layers=self.scan_layers,
             seq_axis=self.seq_axis,
             dtype=self.dtype,

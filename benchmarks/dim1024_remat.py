@@ -48,12 +48,13 @@ def build(remat_policy):
     return ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
 
 
-def bench(remat_policy):
+def bench(remat_policy, moment_dtype=None):
     from voicebox_tpu.training.optimizer import get_optimizer
 
     cfm = build(remat_policy)
     params = cfm.init_params(jax.random.PRNGKey(0), seq_len=SEQ_LEN, batch=2)
-    opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5)
+    opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5,
+                        moment_dtype=moment_dtype)
     opt_state = jax.jit(opt.init)(params)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SEQ_LEN, LATENT_DIM))
@@ -99,20 +100,24 @@ def bench(remat_policy):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    policies = sys.argv[1:] or ["none", "dots"]
-    for name in policies:
+    # each spec: "<policy>" or "<policy>+bf16m"
+    specs = sys.argv[1:] or ["none", "dots"]
+    for spec in specs:
+        name, _, m = spec.partition("+")
         policy = None if name == "none" else name
+        moment_dtype = jnp.bfloat16 if m == "bf16m" else None
         try:
-            sps = bench(policy)
+            sps = bench(policy, moment_dtype=moment_dtype)
             print(json.dumps({
                 "metric": "train_steps_per_sec_dim1024_depth24_bs8",
                 "remat_policy": name,
+                "moment_dtype": "bf16" if moment_dtype else "f32",
                 "value": round(sps, 3),
             }), flush=True)
         except Exception as e:  # OOM etc — record, keep going
             print(json.dumps({
                 "metric": "train_steps_per_sec_dim1024_depth24_bs8",
-                "remat_policy": name,
+                "spec": spec,
                 "error": str(e)[:200],
             }), flush=True)
 

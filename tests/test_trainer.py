@@ -135,26 +135,44 @@ class TestOptimizer:
         updates, _ = opt.update(g, state, params)
         assert jnp.isfinite(updates["w"]).all()
 
-    def test_moment_dtype_f32_matches_adamw(self):
-        """The low-precision path with dtype=f32 reproduces optax.adamw
-        step-for-step (same math, different storage plumbing)."""
+    @pytest.mark.parametrize("max_grad_norm", [None, 0.5])
+    def test_lowp_transform_matches_optax_chain(self, max_grad_norm):
+        """`_scale_by_adam_fused` (the bf16-moment storage transform, here at
+        f32 with its optional clip folding) reproduces
+        optax.chain(clip_by_global_norm, adamw) step-for-step — including
+        steps where the clip triggers and where it doesn't."""
         import optax
+
+        from voicebox_tpu.training.optimizer import (
+            _scale_by_adam_fused,
+            decay_mask as dm,
+        )
 
         params = {"w": jnp.linspace(-1, 1, 12).reshape(3, 4),
                   "b": jnp.ones((4,)) * 0.1}
-        ref = get_optimizer(lr=1e-3, wd=0.01)
-        low = get_optimizer(lr=1e-3, wd=0.01, moment_dtype=jnp.float32)
-        sr, sl = ref.init(params), low.init(params)
-        pr = pl = params
-        for i in range(3):
+        ours = optax.chain(
+            _scale_by_adam_fused(0.9, 0.99, 1e-8, clip_norm=max_grad_norm),
+            optax.add_decayed_weights(0.01, mask=dm),
+            optax.scale_by_learning_rate(1e-3),
+        )
+        chain = [optax.adamw(1e-3, b1=0.9, b2=0.99, eps=1e-8,
+                             weight_decay=0.01, mask=dm)]
+        if max_grad_norm is not None:
+            chain.insert(0, optax.clip_by_global_norm(max_grad_norm))
+        ref = optax.chain(*chain)
+        so, sr = ours.init(params), ref.init(params)
+        po = pr = params
+        for i in range(4):
+            # alternate tiny grads (clip idle) and huge grads (clip active)
+            mag = 100.0 if i % 2 else 0.01
             g = jax.tree.map(
-                lambda p: jnp.cos(p + i).astype(jnp.float32), params
+                lambda p: (mag * jnp.cos(p + i)).astype(jnp.float32), params
             )
+            uo, so = ours.update(g, so, po)
             ur, sr = ref.update(g, sr, pr)
-            ul, sl = low.update(g, sl, pl)
+            po = optax.apply_updates(po, uo)
             pr = optax.apply_updates(pr, ur)
-            pl = optax.apply_updates(pl, ul)
-        for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(pl)):
+        for a, b in zip(jax.tree.leaves(po), jax.tree.leaves(pr)):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
     def test_moment_dtype_bf16_state_and_updates(self):
@@ -162,11 +180,12 @@ class TestOptimizer:
                             max_grad_norm=0.5)
         params = {"w": jnp.ones((4, 4))}
         state = opt.init(params)
-        adam_state = state[1][0]  # (clip, (adam, decay, lr)) chain
+        adam_state = state[1][0]  # (clip, (lowp adam, decay, lr)) chain
         assert adam_state.mu["w"].dtype == jnp.bfloat16
         assert adam_state.nu["w"].dtype == jnp.bfloat16
         g = {"w": jnp.full((4, 4), 0.3)}
         updates, state = opt.update(g, state, params)
+        # wd stage re-promotes the bf16 adam update to f32
         assert updates["w"].dtype == jnp.float32
         assert jnp.isfinite(updates["w"]).all()
 

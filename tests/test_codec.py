@@ -239,3 +239,24 @@ class TestISTFTHeadClip:
         assert jnp.isfinite(wav).all()
         # magnitude cap of 100 bounds the per-sample amplitude too
         assert float(jnp.abs(wav).max()) < 100.0 * 64
+
+
+class TestSecondsPerFrame:
+    """`seconds_per_frame` + `frames_for_seconds` on AudioEncoderDecoder —
+    implements the reference README's open todo (README.md:157: "calculate
+    how many seconds corresponds to each frame and add as property")."""
+
+    def test_mel_voco(self, mel_voco):
+        # default analysis hop = vocoder hop (256) at 24 kHz
+        assert mel_voco.seconds_per_frame == pytest.approx(256 / 24000)
+        assert mel_voco.frames_for_seconds(1.0) == round(24000 / 256)
+
+    def test_encodec_voco(self, encodec_voco):
+        # Encodec: 320 samples/frame at 24 kHz = 75 frames/s
+        assert encodec_voco.seconds_per_frame == pytest.approx(320 / 24000)
+        assert encodec_voco.frames_for_seconds(10.0) == 750
+
+    def test_minimum_one_frame_and_positive(self, encodec_voco):
+        assert encodec_voco.frames_for_seconds(1e-6) == 1
+        with pytest.raises(AssertionError):
+            encodec_voco.frames_for_seconds(0.0)

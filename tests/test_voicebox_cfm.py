@@ -342,3 +342,77 @@ class TestRawAudioChannelDim:
         audio = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 3200)) * 0.1
         loss = cfm(audio, input_sampling_rate=16000)
         assert jnp.isfinite(loss)
+
+
+class TestDurationSeconds:
+    """`sample(duration_seconds=...)` — the seconds-based sampling half of the
+    reference README's open todo (README.md:157)."""
+
+    @pytest.fixture(scope="class")
+    def mel_cfm(self):
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.vocos import Vocos
+
+        codec = MelVoco(n_mels=8, n_fft=64, win_length=64, hop_length=None,
+                        vocos=Vocos(input_channels=8, dim=32,
+                                    intermediate_dim=64, num_layers=1))
+        vb = VoiceBox(audio_enc_dec=codec, dim_in=8, dim=32, depth=2,
+                      dim_head=8, heads=4, num_register_tokens=2,
+                      condition_on_text=False,
+                      conv_pos_embed_kernel_size=7)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=1)
+        return cfm
+
+    def test_no_cond_pure_length_specified(self, mel_cfm):
+        codec = mel_cfm.voicebox.audio_enc_dec
+        secs = 0.5
+        want = codec.frames_for_seconds(secs)  # 47 at hop 256 / 24 kHz
+        out = mel_cfm.sample(duration_seconds=secs, batch_size=2, steps=2,
+                             decode_to_audio=False)
+        assert out.shape == (2, want, 8)
+        assert jnp.isfinite(out).all()
+
+    def test_cond_latents_curtailed_to_duration(self, mel_cfm):
+        codec = mel_cfm.voicebox.audio_enc_dec
+        want = codec.frames_for_seconds(0.25)
+        cond = jax.random.normal(jax.random.PRNGKey(1), (1, want + 13, 8))
+        out = mel_cfm.sample(cond=cond, duration_seconds=0.25, steps=2,
+                             decode_to_audio=False)
+        assert out.shape == (1, want, 8)
+
+    def test_decoded_audio_duration_matches(self, mel_cfm):
+        codec = mel_cfm.voicebox.audio_enc_dec
+        secs = 0.25
+        want = codec.frames_for_seconds(secs)
+        audio = mel_cfm.sample(duration_seconds=secs, steps=2)
+        # vocos synthesises hop samples per frame
+        assert audio.shape[-1] == want * codec.vocos.hop_length
+        assert abs(audio.shape[-1] / codec.sampling_rate - secs) < 0.02
+
+    def test_requires_codec(self):
+        vb = VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,
+                      num_register_tokens=2, condition_on_text=False,
+                      conv_pos_embed_kernel_size=7)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=1)
+        with pytest.raises(AssertionError, match="seconds_per_frame"):
+            cfm.sample(duration_seconds=1.0, steps=2)
+
+    def test_conflicts_with_semantic_tokens(self, rng):
+        vb = VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,
+                      num_register_tokens=2, condition_on_text=True,
+                      num_cond_tokens=11, dim_cond_emb=16,
+                      conv_pos_embed_kernel_size=7)
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.vocos import Vocos
+
+        vb.audio_enc_dec = MelVoco(
+            n_mels=8, n_fft=64, win_length=64,
+            vocos=Vocos(input_channels=8, dim=32, intermediate_dim=64,
+                        num_layers=1))
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(rng, seq_len=16, batch=1)
+        ids = jnp.zeros((1, 16), dtype=jnp.int32)
+        with pytest.raises(AssertionError, match="duration_seconds conflicts"):
+            cfm.sample(semantic_token_ids=ids, duration_seconds=1.0, steps=2)

@@ -410,6 +410,15 @@ class ConditionalFlowMatcherWrapper:
         # aligned phoneme ids (serving buckets — keeps shapes fixed so the
         # request path never recompiles); None = tight dynamic length
         frame_length: Optional[int] = None,
+        # specify the output length in SECONDS (reference README.md:157 open
+        # todo: "when sampling, allow for specifying in seconds"). Converted
+        # to latent frames via audio_enc_dec.seconds_per_frame. With cond
+        # latents/audio: cond is curtailed/padded to that horizon. With the
+        # duration-predictor pipeline: sets frame_length. Without cond on a
+        # non-text model: enables pure length-specified generation from noise
+        # (`batch_size` rows of zero cond, full-span generation mask).
+        duration_seconds: Optional[float] = None,
+        batch_size: int = 1,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
@@ -436,6 +445,15 @@ class ConditionalFlowMatcherWrapper:
             assert codec is not None
             cond = codec.encode(cond)
 
+        want_frames = None
+        if duration_seconds is not None:
+            assert codec is not None, (
+                "duration_seconds needs an audio_enc_dec to define "
+                "seconds_per_frame — pass cond latents of the desired "
+                "length instead"
+            )
+            want_frames = codec.frames_for_seconds(duration_seconds)
+
         num_cond_inputs = sum(
             x is not None
             for x in (texts, text_token_ids, semantic_token_ids, phoneme_ids)
@@ -448,6 +466,10 @@ class ConditionalFlowMatcherWrapper:
 
         if self.condition_on_text:
             if self.text_to_semantic is not None or semantic_token_ids is not None:
+                assert want_frames is None, (
+                    "duration_seconds conflicts with semantic-token "
+                    "conditioning: the latent length follows the token count"
+                )
                 assert phoneme_ids is None
                 if semantic_token_ids is None:
                     semantic_token_ids, self_attn_mask = self.text_to_semantic.generate(
@@ -461,6 +483,8 @@ class ConditionalFlowMatcherWrapper:
                     )
                 cond_token_ids = jnp.asarray(semantic_token_ids)
             elif self.duration_predictor is not None:
+                if want_frames is not None and frame_length is None:
+                    frame_length = want_frames
                 durations, aligned_phoneme_ids = (
                     self.duration_predictor.forward_with_cond_scale(
                         cond=cond,
@@ -499,8 +523,21 @@ class ConditionalFlowMatcherWrapper:
             assert num_cond_inputs == 0, (
                 "no conditioning inputs should be given if not conditioning on text"
             )
+            if want_frames is not None:
+                if cond is None:
+                    # pure length-specified generation: zero cond, and the
+                    # model's default sample-time cond_mask (all True)
+                    # regenerates the whole span from noise
+                    cond = jnp.zeros(
+                        (batch_size, want_frames, self.voicebox.latent_dim)
+                    )
+                else:
+                    cond = curtail_or_pad(cond, want_frames)
 
-        assert cond is not None, "cond latents (or conditioning tokens) required to sample"
+        assert cond is not None, (
+            "cond latents (or conditioning tokens, or duration_seconds with "
+            "a codec) required to sample"
+        )
 
         y0 = jax.random.normal(rng, cond.shape, dtype=cond.dtype)
 

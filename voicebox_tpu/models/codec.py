@@ -46,6 +46,21 @@ class AudioEncoderDecoder:
     # consumed by register-aligned bucketing (training/trainer.py)
     frame_offset: int = 0
 
+    @property
+    def seconds_per_frame(self) -> float:
+        """Audio seconds covered by one latent frame (reference README.md:157
+        lists this as an open todo: "calculate how many seconds corresponds to
+        each frame and add as property on AudioEncoderDecoder"). MelVoco:
+        hop/sr; EncodecVoco: 320/24000 = 1/75 s."""
+        return self.downsample_factor / self.sampling_rate
+
+    def frames_for_seconds(self, seconds: float) -> int:
+        """Latent frames spanning `seconds` of audio (>=1). The seconds-based
+        half of the same reference todo: `sample(duration_seconds=...)` uses
+        this to size the latent horizon."""
+        assert seconds > 0, "duration must be positive"
+        return max(1, round(seconds / self.seconds_per_frame))
+
     def encode(self, audio: jax.Array) -> jax.Array:
         raise NotImplementedError
 

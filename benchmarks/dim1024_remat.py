@@ -26,11 +26,13 @@ LATENT_DIM = 128
 BATCH = 8
 
 
-def build(remat_policy):
+def build(remat_policy, scan_layers=False, scores_dtype=None):
     from voicebox_tpu import VoiceBox
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
 
     vb = VoiceBox(
+        scan_layers=scan_layers,
+        attn_scores_dtype=scores_dtype,
         num_cond_tokens=500,
         dim_in=LATENT_DIM,
         dim_cond_emb=512,
@@ -48,10 +50,12 @@ def build(remat_policy):
     return ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
 
 
-def bench(remat_policy, moment_dtype=None):
+def bench(remat_policy, moment_dtype=None, scan_layers=False,
+          scores_dtype=None):
     from voicebox_tpu.training.optimizer import get_optimizer
 
-    cfm = build(remat_policy)
+    cfm = build(remat_policy, scan_layers=scan_layers,
+                scores_dtype=scores_dtype)
     params = cfm.init_params(jax.random.PRNGKey(0), seq_len=SEQ_LEN, batch=2)
     opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5,
                         moment_dtype=moment_dtype)
@@ -100,18 +104,24 @@ def bench(remat_policy, moment_dtype=None):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    # each spec: "<policy>" or "<policy>+bf16m"
+    # each spec: "<policy>" with optional "+bf16m" / "+scan" / "+bf16s" flags
     specs = sys.argv[1:] or ["none", "dots"]
     for spec in specs:
-        name, _, m = spec.partition("+")
+        parts = spec.split("+")
+        name, flags = parts[0], set(parts[1:])
         policy = None if name == "none" else name
-        moment_dtype = jnp.bfloat16 if m == "bf16m" else None
+        moment_dtype = jnp.bfloat16 if "bf16m" in flags else None
+        scores_dtype = jnp.bfloat16 if "bf16s" in flags else None
+        scan_layers = "scan" in flags
         try:
-            sps = bench(policy, moment_dtype=moment_dtype)
+            sps = bench(policy, moment_dtype=moment_dtype,
+                        scan_layers=scan_layers, scores_dtype=scores_dtype)
             print(json.dumps({
                 "metric": "train_steps_per_sec_dim1024_depth24_bs8",
                 "remat_policy": name,
                 "moment_dtype": "bf16" if moment_dtype else "f32",
+                "scores_dtype": "bf16" if scores_dtype else "f32",
+                "scan_layers": scan_layers,
                 "value": round(sps, 3),
             }), flush=True)
         except Exception as e:  # OOM etc — record, keep going

@@ -96,6 +96,12 @@ def main():
         ("ff_lane_aligned", {"ff_mult": 4.125}, {}),
         ("ff_lane_aligned_bf16m", {"ff_mult": 4.125},
          {"moment_dtype": jnp.bfloat16}),
+        # bf16 score matrix + softmax (VoiceBox attn_scores_dtype opt-in):
+        # halves the (b,h,n,n) HBM traffic, relaxes f32 softmax numerics
+        ("bf16_scores", {"attn_scores_dtype": jnp.bfloat16}, {}),
+        ("bf16_scores_stacked",
+         {"ff_mult": 4.125, "attn_scores_dtype": jnp.bfloat16},
+         {"moment_dtype": jnp.bfloat16}),
     ]
     if len(sys.argv) > 1:
         names = set(sys.argv[1:])

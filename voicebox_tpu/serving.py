@@ -51,6 +51,10 @@ class TTSEngine:
         # rounded up into frame_buckets
         frames_per_token: int = 8,
         frame_buckets: Optional[Sequence[int]] = None,
+        # "int8": serve the denoiser's transformer matmuls on the MXU's s8
+        # path (ops/quant.py) — higher throughput/chip, small output
+        # perturbation; off by default
+        quantize: Optional[str] = None,
     ):
         assert cfm_wrapper.params is not None, "wrapper must be initialised"
         assert (
@@ -72,6 +76,7 @@ class TTSEngine:
         self.spec_decode = spec_decode
         self.decode_to_audio = decode_to_audio
         self.frames_per_token = frames_per_token
+        self.quantize = quantize
         if frame_buckets is None:
             frame_buckets = tuple(b * frames_per_token for b in self.text_buckets)
         self.frame_buckets = tuple(sorted(frame_buckets))
@@ -162,6 +167,7 @@ class TTSEngine:
                 cond_scale=self.cond_scale,
                 decode_to_audio=self.decode_to_audio,
                 return_lengths=True,
+                quantize=self.quantize,
                 rng=chunk_rng,
             )
             outs.append(out[: chunk.shape[0]])
@@ -193,6 +199,7 @@ class TTSEngine:
                     cond_scale=self.cond_scale,
                     decode_to_audio=self.decode_to_audio,
                     return_lengths=True,
+                    quantize=self.quantize,
                 )
                 jnp.asarray(out).block_until_ready()
                 if verbose:

@@ -56,6 +56,11 @@ class TrainConfig:
     # "bfloat16" stores Adam moments at reduced precision (string so the
     # config stays JSON-round-trippable; see training/optimizer.py)
     moment_dtype: Optional[str] = None
+    # e.g. 0.999 tracks an EMA of the params for sampling
+    # (trainer.generate(use_ema=True)); ema_dtype "bfloat16" halves its
+    # HBM traffic
+    ema_decay: Optional[float] = None
+    ema_dtype: Optional[str] = None
     min_fsdp_size: int = 2 ** 16
     seed: int = 0
     bucket_multiple: int = 256
@@ -82,10 +87,11 @@ class TrainConfig:
         kwargs = self.to_dict()
         mesh_cfg = kwargs.pop("mesh")
         kwargs.update(overrides)
-        if isinstance(kwargs.get("moment_dtype"), str):
-            import jax.numpy as jnp
+        for key in ("moment_dtype", "ema_dtype"):
+            if isinstance(kwargs.get(key), str):
+                import jax.numpy as jnp
 
-            kwargs["moment_dtype"] = jnp.dtype(kwargs["moment_dtype"])
+                kwargs[key] = jnp.dtype(kwargs[key])
         if "mesh" not in kwargs:
             kwargs["mesh"] = (
                 MeshConfig(**mesh_cfg).build() if isinstance(mesh_cfg, dict)

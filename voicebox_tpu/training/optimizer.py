@@ -8,12 +8,18 @@ partition is a `mask` tree rather than two param groups.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import optax
 
-__all__ = ["get_optimizer", "decay_mask", "warmup_cosine_schedule"]
+__all__ = [
+    "get_optimizer",
+    "decay_mask",
+    "warmup_cosine_schedule",
+    "track_params_ema",
+    "ema_params_from_state",
+]
 
 
 def decay_mask(params):
@@ -85,6 +91,64 @@ def _scale_by_adam_fused(
     return optax.GradientTransformation(init, update)
 
 
+class ParamsEmaState(NamedTuple):
+    """State of `track_params_ema`: the exponential moving average of the
+    POST-update parameters."""
+
+    ema: optax.Params
+
+
+def track_params_ema(decay: float, ema_dtype=None) -> optax.GradientTransformation:
+    """Track an exponential moving average of the parameters INSIDE the
+    optimizer chain (must be the LAST stage, so `params + updates` is the
+    post-step value). The EMA tree rides in `opt_state`, which means
+    checkpointing, sharding propagation, and buffer donation all apply to it
+    with no extra plumbing. `ema_dtype` (e.g. bf16) halves its HBM traffic.
+
+    Beyond-parity: the reference trains without EMA (trainer.py:60-321), but
+    flow-matching sample quality conventionally comes from averaged weights
+    (Voicebox paper §4.2 and the diffusion literature); off by default.
+    """
+    assert 0.0 < decay < 1.0, decay
+
+    def init(params):
+        import jax.numpy as jnp
+
+        # explicit copy: aliasing the live param buffers would make the
+        # trainer's donate_argnums=(0, 1) donate the same buffer twice
+        cast = lambda p: jnp.array(p, dtype=ema_dtype or p.dtype, copy=True)
+        return ParamsEmaState(ema=jax.tree.map(cast, params))
+
+    def update(updates, state, params=None):
+        import jax.numpy as jnp
+
+        assert params is not None, "track_params_ema needs params in update()"
+
+        def one(e, p, u):
+            new_p = p.astype(jnp.float32) + u.astype(jnp.float32)
+            e32 = e.astype(jnp.float32)
+            return (e32 + (1.0 - decay) * (new_p - e32)).astype(e.dtype)
+
+        return updates, ParamsEmaState(
+            ema=jax.tree.map(one, state.ema, params, updates)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params_from_state(opt_state) -> Optional[optax.Params]:
+    """Extract the EMA param tree from a (possibly nested chain) optimizer
+    state; None when no `track_params_ema` stage is present."""
+    if isinstance(opt_state, ParamsEmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):
+        for sub in opt_state:
+            found = ema_params_from_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
 def get_optimizer(
     lr: Union[float, optax.Schedule] = 1e-4,
     wd: float = 1e-2,
@@ -93,6 +157,8 @@ def get_optimizer(
     group_wd_params: bool = True,
     max_grad_norm: Optional[float] = None,
     moment_dtype=None,
+    ema_decay: Optional[float] = None,
+    ema_dtype=None,
 ) -> optax.GradientTransformation:
     """`moment_dtype` (e.g. jnp.bfloat16) stores BOTH Adam moments at reduced
     precision — a TPU HBM-bandwidth lever (the optimizer update is pure memory
@@ -131,7 +197,11 @@ def get_optimizer(
 
     if max_grad_norm is not None:
         # reference clips the global norm before the step (trainer.py:274-275)
-        return optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+        opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+    if ema_decay is not None:
+        # LAST stage: sees the final updates, so params + updates is the
+        # post-step value the EMA must track
+        opt = optax.chain(opt, track_params_ema(ema_decay, ema_dtype=ema_dtype))
     return opt
 
 

@@ -68,6 +68,11 @@ class VoiceBoxTrainer:
         # e.g. jnp.bfloat16: store Adam moments at reduced precision (HBM-
         # bandwidth lever; see training/optimizer.py). None = f32 (reference)
         moment_dtype=None,
+        # e.g. 0.999: track an EMA of the params inside the optimizer chain
+        # (sample from it via generate(use_ema=True) / .ema_params). Beyond
+        # parity — the reference trains without EMA; off by default.
+        ema_decay: Optional[float] = None,
+        ema_dtype=None,
         max_grad_norm: Optional[float] = 0.5,
         valid_frac: float = 0.05,
         random_split_seed: int = 42,
@@ -153,7 +158,8 @@ class VoiceBoxTrainer:
         )
         self.optimizer = get_optimizer(
             lr=schedule, wd=wd, max_grad_norm=max_grad_norm,
-            moment_dtype=moment_dtype,
+            moment_dtype=moment_dtype, ema_decay=ema_decay,
+            ema_dtype=ema_dtype,
         )
 
         # mesh / sharding
@@ -450,8 +456,23 @@ class VoiceBoxTrainer:
         # filename like the reference (trainer.py:47-58)
         self.steps = steps
 
-    def generate(self, *args, **kwargs):
+    @property
+    def ema_params(self):
+        """EMA param tree (None unless the trainer was built with ema_decay).
+        Lives inside opt_state, so it checkpoints/shards with no extra
+        plumbing."""
+        from .optimizer import ema_params_from_state
+
+        return ema_params_from_state(self.opt_state)
+
+    def generate(self, *args, use_ema: bool = False, **kwargs):
         self.cfm_wrapper.params = self.params
+        if use_ema:
+            ema = self.ema_params
+            assert ema is not None, (
+                "use_ema=True needs VoiceBoxTrainer(ema_decay=...)"
+            )
+            return self.cfm_wrapper.sample(*args, params=ema, **kwargs)
         return self.cfm_wrapper.sample(*args, **kwargs)
 
     # ------------------------------------------------------------------

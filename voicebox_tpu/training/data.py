@@ -102,6 +102,36 @@ class AudioDataset:
             wave = resample_np(wave, sr, self.sample_rate)
         return wave
 
+    def item_length(self, idx) -> int:
+        """Length (samples at the output rate) WITHOUT decoding the audio —
+        header-only for .wav. Used by the process-sharded DataLoader to agree
+        on bucket shapes across hosts without every host decoding every item
+        (consistency across processes is what matters: all hosts compute the
+        same number from the same header). Cached per index."""
+        cache = getattr(self, "_length_cache", None)
+        if cache is None:
+            cache = self._length_cache = {}
+        if idx in cache:
+            return cache[idx]
+        path = self.files[idx]
+        n = sr = None
+        if path.suffix.lower() == ".wav":
+            import wave as wave_mod
+
+            try:
+                with wave_mod.open(str(path), "rb") as w:
+                    n, sr = w.getnframes(), w.getframerate()
+            except Exception:
+                pass
+        if n is None:  # non-wav or unreadable header: decode once
+            n = len(self[idx])
+            sr = self.sample_rate
+        if self.sample_rate is not None and sr != self.sample_rate:
+            # same output-length rule as ops/stft.resample_np
+            n = int(round(n * self.sample_rate / sr))
+        cache[idx] = int(n)
+        return cache[idx]
+
 
 class ArrayDataset:
     """In-memory dataset of numpy arrays (waves `(n,)` or latents `(n, d)`) —
@@ -115,6 +145,9 @@ class ArrayDataset:
 
     def __getitem__(self, idx):
         return self.arrays[idx]
+
+    def item_length(self, idx) -> int:
+        return int(self.arrays[idx].shape[0])
 
 
 def random_split(dataset, valid_frac: float, seed: int = 42):
@@ -136,6 +169,18 @@ class _Subset:
 
     def __getitem__(self, idx):
         return self.dataset[self.indices[idx]]
+
+    def item_length(self, idx) -> int:
+        return _item_length(self.dataset, self.indices[idx])
+
+
+def _item_length(dataset, idx) -> int:
+    """Length of item `idx` along axis 0, via the dataset's cheap
+    `item_length` accessor when it has one, else by decoding."""
+    fn = getattr(dataset, "item_length", None)
+    if fn is not None:
+        return int(fn(idx))
+    return int(np.asarray(dataset[idx]).shape[0])
 
 
 def pad_to_multiple(length: int, multiple: int) -> int:
@@ -167,6 +212,7 @@ def collate_with_mask(
     max_length: Optional[int] = None,
     bucket_offset: int = 0,
     align_multiple: int = 128,
+    force_target: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack variable-length items into (batch, mask).
 
@@ -183,7 +229,15 @@ def collate_with_mask(
     downsample factor for raw-audio datasets) — see `_bucket_target`.
     """
     lengths = [it.shape[0] for it in items]
-    if pad_to_longest:
+    if force_target is not None:
+        # process-sharded loading: the caller supplies a globally-agreed
+        # bucket length (computed from ALL rows' metadata, not just the
+        # local ones); max_length capping still applies below
+        target = force_target
+        if max_length is not None and target > max_length:
+            snapped = (max_length + bucket_offset) // bucket_multiple * bucket_multiple - bucket_offset
+            target = snapped if 0 < snapped else max_length
+    elif pad_to_longest:
         target = _bucket_target(max(lengths), bucket_multiple, bucket_offset, align_multiple)
         if max_length is not None and target > max_length:
             # snap the cap DOWN onto the offset grid so a legacy k*multiple
@@ -205,7 +259,19 @@ def collate_with_mask(
 
 class DataLoader:
     """Infinite (or epoch-wise) shuffling batch iterator yielding
-    (batch, mask) numpy pairs with bucketed static shapes."""
+    (batch, mask) numpy pairs with bucketed static shapes.
+
+    Multi-host SPMD (`shard=(rank, world)`): every process runs this loader
+    with the SAME seed, so all agree on the item order, the global batch
+    composition, and — via cheap `item_length` metadata, computed over ALL
+    rows on every host — the bucketed batch length. Each process then decodes
+    ONLY its own rows and yields a LOCAL `(batch_size/world, target)` batch,
+    padded to the globally-agreed target; the trainer assembles the global
+    jax.Array with `jax.make_array_from_process_local_data`. With
+    `shard_group_size=g` (the trainer's micro-batch size), the global batch
+    is treated as `batch_size/g` groups of `g` rows and the process takes its
+    rank-block of `g/world` rows inside EACH group — matching how the
+    (accum, micro) reshape maps micro rows onto the mesh's data axis."""
 
     def __init__(
         self,
@@ -219,6 +285,8 @@ class DataLoader:
         drop_last: bool = False,
         bucket_offset: int = 0,
         align_multiple: int = 128,
+        shard: Optional[Tuple[int, int]] = None,
+        shard_group_size: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -230,6 +298,29 @@ class DataLoader:
         self.drop_last = drop_last
         self.bucket_offset = bucket_offset
         self.align_multiple = align_multiple
+        if shard is not None:
+            rank, world = shard
+            assert 0 <= rank < world, shard
+            group = shard_group_size if shard_group_size is not None else batch_size
+            assert batch_size % group == 0, (batch_size, group)
+            assert group % world == 0, (
+                f"micro-batch group {group} must divide over {world} processes"
+            )
+        self.shard = shard
+        self.shard_group_size = shard_group_size
+
+    def _local_rows(self, idx: np.ndarray) -> np.ndarray:
+        """The rows of the global batch this process decodes (see class doc)."""
+        if self.shard is None:
+            return idx
+        rank, world = self.shard
+        group = self.shard_group_size or self.batch_size
+        block = group // world
+        out = []
+        for g_start in range(0, len(idx), group):
+            lo = g_start + rank * block
+            out.append(idx[lo : lo + block])
+        return np.concatenate(out)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
@@ -246,7 +337,28 @@ class DataLoader:
                 idx = np.concatenate(
                     [idx, np.resize(order, self.batch_size - len(idx))]
                 )
-            items = [np.asarray(self.dataset[int(i)]) for i in idx]
+            if self.shard is not None and self.pad_to_longest:
+                # bucket target from GLOBAL lengths (all hosts agree), decode
+                # only the local rows, pad to the agreed target
+                target = _bucket_target(
+                    max(_item_length(self.dataset, int(i)) for i in idx),
+                    self.bucket_multiple, self.bucket_offset,
+                    self.align_multiple,
+                )
+                items = [
+                    np.asarray(self.dataset[int(i)]) for i in self._local_rows(idx)
+                ]
+                yield collate_with_mask(
+                    items,
+                    bucket_multiple=self.bucket_multiple,
+                    pad_to_longest=self.pad_to_longest,
+                    max_length=self.max_length,
+                    bucket_offset=self.bucket_offset,
+                    align_multiple=self.align_multiple,
+                    force_target=target,
+                )
+                continue
+            items = [np.asarray(self.dataset[int(i)]) for i in self._local_rows(idx)]
             yield collate_with_mask(
                 items,
                 bucket_multiple=self.bucket_multiple,

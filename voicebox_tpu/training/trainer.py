@@ -199,13 +199,19 @@ class VoiceBoxTrainer:
                     mesh, P(None, DATA_AXIS, "seq")
                 )
                 self._ids_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+                self._flat_sharding = NamedSharding(mesh, P(DATA_AXIS, "seq"))
+                self._flat_ids_sharding = NamedSharding(mesh, P(DATA_AXIS))
             else:
                 self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
                 self._ids_sharding = self._batch_sharding
+                self._flat_sharding = NamedSharding(mesh, P(DATA_AXIS))
+                self._flat_ids_sharding = self._flat_sharding
             self._replicated = NamedSharding(mesh, P())
         else:
             self._batch_sharding = None
             self._ids_sharding = None
+            self._flat_sharding = None
+            self._flat_ids_sharding = None
             self._replicated = None
         self._param_sharding_mode = param_sharding
         self._min_fsdp_size = min_fsdp_size
@@ -248,22 +254,43 @@ class VoiceBoxTrainer:
             else:
                 bucket_offset = reg
 
-        # data loaders (cycled infinitely, reference trainer.py:166-169)
+        # data loaders (cycled infinitely, reference trainer.py:166-169).
+        # Multi-host SPMD: every process runs the same-seeded loader but
+        # decodes ONLY its own rows (DataLoader shard=); the global batch is
+        # assembled device-side via jax.make_array_from_process_local_data —
+        # a plain device_put of the global batch would both decode the whole
+        # batch on every host AND fail on the non-addressable shards.
         micro_bs = batch_size
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]
             assert micro_bs % n_data == 0, (
                 f"batch_size {micro_bs} must divide the data-parallel axis {n_data}"
             )
+        self._multihost = jax.process_count() > 1 and mesh is not None
+        shard = None
+        if self._multihost:
+            assert self.seq_parallel <= 1, (
+                "multi-host sequence parallelism needs seq-sharded host "
+                "loading, which is not implemented — shard only over 'data'"
+            )
+            world = jax.process_count()
+            assert micro_bs % world == 0, (
+                f"batch_size {micro_bs} must divide over {world} processes"
+            )
+            shard = (jax.process_index(), world)
         self.dl = DataLoader(
             self.ds, batch_size=micro_bs * grad_accum_every, shuffle=True, seed=seed,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
             bucket_offset=bucket_offset, align_multiple=align_multiple,
+            shard=shard, shard_group_size=micro_bs,
         )
+        # valid batches are consumed FLAT (one (b, n, ...) forward), so the
+        # whole batch is one contiguous shard group over the data axis
         self.valid_dl = DataLoader(
             self.valid_ds, batch_size=micro_bs, shuffle=True, seed=seed + 1,
             bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
             bucket_offset=bucket_offset, align_multiple=align_multiple,
+            shard=shard,
         )
         if prefetch_batches > 0:
             # overlap host decode/collation with device compute
@@ -381,7 +408,8 @@ class VoiceBoxTrainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
-    def _prepare_batch(self, wave: np.ndarray, mask: np.ndarray):
+    def _prepare_batch(self, wave: np.ndarray, mask: np.ndarray,
+                       flat: bool = False):
         """Encode raw audio through the frozen codec (and, for semantic
         conditioning, derive HuBERT token ids) and reshape to
         (accum, micro_bs, ...). Encoding happens outside the train step under
@@ -417,20 +445,33 @@ class VoiceBoxTrainer:
                 f"seq_parallel={self.seq_parallel}; pick bucket_multiple/"
                 f"bucket_offset so every bucket length is a multiple of it"
             )
-        b = x.shape[0]
-        accum = self.grad_accum_every
-        micro = b // accum
-        x = x.reshape(accum, micro, *x.shape[1:])
-        mask = jnp.asarray(mask).reshape(accum, micro, -1)
-        if cond_ids is not None:
-            cond_ids = cond_ids.reshape(accum, micro, -1)
-
-        if self._batch_sharding is not None:
-            x = jax.device_put(x, self._batch_sharding)
-            mask = jax.device_put(mask, self._batch_sharding)
+        if not flat:
+            b = x.shape[0]
+            accum = self.grad_accum_every
+            micro = b // accum
+            x = x.reshape(accum, micro, *x.shape[1:])
+            mask = jnp.asarray(mask).reshape(accum, micro, -1)
             if cond_ids is not None:
-                cond_ids = jax.device_put(cond_ids, self._ids_sharding)
+                cond_ids = cond_ids.reshape(accum, micro, -1)
+            batch_sharding, ids_sharding = self._batch_sharding, self._ids_sharding
+        else:
+            mask = jnp.asarray(mask)
+            batch_sharding, ids_sharding = self._flat_sharding, self._flat_ids_sharding
+
+        if batch_sharding is not None:
+            x = self._put_global(x, batch_sharding)
+            mask = self._put_global(mask, batch_sharding)
+            if cond_ids is not None:
+                cond_ids = self._put_global(cond_ids, ids_sharding)
         return x, mask, cond_ids
+
+    def _put_global(self, local, sharding):
+        """Single-host: a plain sharded device_put. Multi-host: `local` holds
+        only this process's rows (the sharded DataLoader decoded just those);
+        assemble the global jax.Array from the per-process pieces."""
+        if not self._multihost:
+            return jax.device_put(local, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(local))
 
     # ------------------------------------------------------------------
     # checkpointing (flax msgpack; keys mirror the reference pkg)
@@ -523,10 +564,8 @@ class VoiceBoxTrainer:
         return logs
 
     def _prepare_batch_flat(self, wave, mask):
-        x, m, ids = self._prepare_batch(wave, mask)
-        # undo the accum leading axis for single-forward validation
-        flat = lambda t: None if t is None else t.reshape(-1, *t.shape[2:])[: self.batch_size]
-        return flat(x), flat(m), flat(ids)
+        # no accum leading axis: single-forward validation on (b, n, ...)
+        return self._prepare_batch(wave, mask, flat=True)
 
     def train(self, log_fn=noop):
         # an explicit log_fn keeps the old contract (a Python float per step)

@@ -106,10 +106,14 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     # each spec: "<policy>" with optional "+bf16m" / "+scan" / "+bf16s" flags
     specs = sys.argv[1:] or ["none", "dots"]
+    _FLAGS = {"bf16m", "bf16s", "scan"}
     for spec in specs:
         parts = spec.split("+")
-        name, flags = parts[0], set(parts[1:])
-        policy = None if name == "none" else name
+        flags = {p for p in parts if p in _FLAGS}
+        # everything else (re-joined) is the remat policy — composite names
+        # like 'dots+attn_probs' pass through to _resolve_remat_policy
+        name = "+".join(p for p in parts if p not in _FLAGS)
+        policy = None if name in ("none", "") else name
         moment_dtype = jnp.bfloat16 if "bf16m" in flags else None
         scores_dtype = jnp.bfloat16 if "bf16s" in flags else None
         scan_layers = "scan" in flags

@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from ..ops.flash_attention import attend
@@ -71,8 +72,13 @@ class Attention(nn.Module):
             k = MultiheadRMSNorm(dim=d, heads=h, name="k_norm")(k)
 
         if rotary_emb is not None:
-            q = apply_rotary_pos_emb(rotary_emb, q)
-            k = apply_rotary_pos_emb(rotary_emb, k)
+            # tagged so remat_policy='dots+qk_rotary' can save the post-norm,
+            # post-rotary q/k instead of recomputing the f32 l2norm + rotary
+            # chains in the backward
+            q = checkpoint_name(
+                apply_rotary_pos_emb(rotary_emb, q), "qk_rotary")
+            k = checkpoint_name(
+                apply_rotary_pos_emb(rotary_emb, k), "qk_rotary")
 
         scale = self.qk_norm_scale if self.qk_norm else None
         if self.seq_axis is not None:

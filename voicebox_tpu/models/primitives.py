@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from ..ops.gateloop import gated_linear_recurrence
@@ -163,7 +164,8 @@ class RMSNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
         scale = self.dim**0.5
         out = _l2norm(x.astype(jnp.float32)) * scale * gamma
-        return out.astype(x.dtype)
+        return checkpoint_name(
+            out.astype(x.dtype), "norm_out")
 
 
 class AdaptiveRMSNorm(nn.Module):
@@ -196,7 +198,8 @@ class AdaptiveRMSNorm(nn.Module):
         )(cond.astype(jnp.float32))
 
         out = normed * gamma[:, None, :] + beta[:, None, :]
-        return out.astype(x.dtype)
+        return checkpoint_name(
+            out.astype(x.dtype), "norm_out")
 
 
 class MultiheadRMSNorm(nn.Module):
@@ -221,7 +224,7 @@ class GEGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x, gate = jnp.split(x, 2, axis=-1)
         # tanh-approximate GELU (TPU-fast; see ConvPositionEmbed note)
-        return nn.gelu(gate) * x
+        return checkpoint_name(nn.gelu(gate) * x, "gelu_out")
 
 
 class FeedForward(nn.Module):

@@ -51,6 +51,12 @@ from .primitives import (
 __all__ = ["Transformer", "pipeline_stage_modules"]
 
 
+# tensors tagged with jax.ad_checkpoint.checkpoint_name inside the blocks —
+# composable into remat policies as 'dots+<name>+...' (profiling showed the
+# dots-policy recompute bill is elementwise work on exactly these tensors)
+_REMAT_TAGS = ("attn_probs", "qk_rotary", "norm_out", "gelu_out")
+
+
 def _resolve_remat_policy(name: Optional[str]):
     """Named `jax.checkpoint` policies for selective rematerialisation.
 
@@ -58,15 +64,34 @@ def _resolve_remat_policy(name: Optional[str]):
     'dots'-> save matmul outputs, recompute only cheap elementwise/softmax/
              norm work in the backward pass — costs activation memory roughly
              equal to the saved dot outputs but removes the expensive MXU
-             recompute from the remat bill."""
+             recompute from the remat bill.
+    'dots+attn_probs+...' -> additionally save the named tagged tensors
+             (_REMAT_TAGS): spends more activation HBM to remove the
+             corresponding elementwise recompute from the backward."""
     if name is None:
         return None
     table = {
         "dots": jax.checkpoint_policies.dots_saveable,
         "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
     }
-    assert name in table, f"remat_policy {name!r} not in {sorted(table)}"
-    return table[name]
+    parts = name.split("+")
+    bases = [table[p] for p in parts if p in table]
+    names = [p for p in parts if p not in table]
+    unknown = [n for n in names if n not in _REMAT_TAGS]
+    assert not unknown, (
+        f"remat_policy parts {unknown} not in {sorted(table)} or {_REMAT_TAGS}"
+    )
+    policy = (
+        jax.checkpoint_policies.save_only_these_names(*names) if names else None
+    )
+    for base in bases:
+        policy = (
+            base
+            if policy is None
+            else jax.checkpoint_policies.save_from_both_policies(policy, base)
+        )
+    assert policy is not None, f"empty remat_policy {name!r}"
+    return policy
 
 
 def pipeline_stage_modules(transformer: "Transformer", deterministic: bool = True):

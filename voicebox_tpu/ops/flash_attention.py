@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 __all__ = ["attend", "flash_attention", "reference_attention"]
@@ -77,7 +78,9 @@ def reference_attention(
     if mask is not None:
         sim = jnp.where(mask[:, None, None, :], sim, _NEG_INF)
 
-    attn = jax.nn.softmax(sim, axis=-1)
+    attn = checkpoint_name(
+        jax.nn.softmax(sim, axis=-1), "attn_probs"
+    )
     if dropout > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)

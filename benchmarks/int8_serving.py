@@ -73,18 +73,21 @@ def main():
               decode_to_audio=False, params=params, rng=jax.random.PRNGKey(7))
     lat = jnp.asarray(cfm.sample(**kw), jnp.float32)
     lat_q = jnp.asarray(cfm.sample(quantize="int8", **kw), jnp.float32)
+    lat_w = jnp.asarray(cfm.sample(quantize="w8a16", **kw), jnp.float32)
     rel = float(jnp.linalg.norm(lat_q - lat) / jnp.linalg.norm(lat))
-    print(f"latent rel delta int8 vs {dtype.__name__}: {rel:.4f}", flush=True)
+    rel_w = float(jnp.linalg.norm(lat_w - lat) / jnp.linalg.norm(lat))
+    print(f"latent rel delta vs {dtype.__name__}: int8 {rel:.4f} | w8a16 {rel_w:.4f}",
+          flush=True)
 
     for batch in (1, 8):
         t_f = bench_sample(cfm, params, batch, None)
         t_q = bench_sample(cfm, params, batch, "int8")
+        t_w = bench_sample(cfm, params, batch, "w8a16")
         thr_f = batch * AUDIO_SECONDS / t_f
-        thr_q = batch * AUDIO_SECONDS / t_q
         print(
             f"dim  512 batch {batch}: {dtype.__name__} {t_f*1e3:7.1f} ms ({thr_f:6.1f} audio-s/s) | "
-            f"int8 {t_q*1e3:7.1f} ms ({thr_q:6.1f} audio-s/s) | "
-            f"speedup {t_f/t_q:0.2f}x",
+            f"int8 {t_q*1e3:7.1f} ms ({t_f/t_q:0.2f}x) | "
+            f"w8a16 {t_w*1e3:7.1f} ms ({t_f/t_w:0.2f}x)",
             flush=True,
         )
 
@@ -96,12 +99,12 @@ def main():
     for batch in (1, 8):
         t_f = bench_sample(cfm_big, params_big, batch, None)
         t_q = bench_sample(cfm_big, params_big, batch, "int8")
+        t_w = bench_sample(cfm_big, params_big, batch, "w8a16")
         thr_f = batch * AUDIO_SECONDS / t_f
-        thr_q = batch * AUDIO_SECONDS / t_q
         print(
             f"dim 1024 batch {batch}: {dtype.__name__} {t_f*1e3:7.1f} ms ({thr_f:6.1f} audio-s/s) | "
-            f"int8 {t_q*1e3:7.1f} ms ({thr_q:6.1f} audio-s/s) | "
-            f"speedup {t_f/t_q:0.2f}x",
+            f"int8 {t_q*1e3:7.1f} ms ({t_f/t_q:0.2f}x) | "
+            f"w8a16 {t_w*1e3:7.1f} ms ({t_f/t_w:0.2f}x)",
             flush=True,
         )
 

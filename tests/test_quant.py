@@ -18,6 +18,7 @@ from voicebox_tpu.ops.quant import (
     quantize_dense_params,
     quantize_kernel,
     quantized_dense,
+    w8a16_matmul,
 )
 
 
@@ -47,6 +48,48 @@ def test_int8_matmul_accuracy():
     ref = x @ w
     rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
     assert rel < 0.02, rel
+
+
+def test_w8a16_matmul_parity():
+    """The Pallas weight-only matmul must be EXACT vs x @ dequant(kernel)
+    (modulo f32 dot rounding): unlike the dynamic-int8 path, activations are
+    never quantized, so the only error budget is the weight rounding."""
+    rs = np.random.RandomState(0)
+    # ragged shapes force the kernel's m/k/n padding paths
+    for lead, k, n in [((3, 17), 96, 128), ((33,), 130, 257), ((2, 4, 8), 64, 96)]:
+        w = jnp.asarray(rs.randn(k, n), jnp.float32)
+        x = jnp.asarray(rs.randn(*lead, k), jnp.float32)
+        q, s = quantize_kernel(w)
+        y = w8a16_matmul(x, q, s, interpret=True)
+        assert y.shape == (*lead, n) and y.dtype == x.dtype
+        deq_ref = x @ (q.astype(jnp.float32) * s)
+        assert float(jnp.max(jnp.abs(y - deq_ref))) < 1e-4 * float(
+            jnp.max(jnp.abs(deq_ref))
+        )
+        rel = float(jnp.linalg.norm(y - x @ w) / jnp.linalg.norm(x @ w))
+        assert rel < 0.02, rel
+
+
+def test_sample_w8a16_end_to_end():
+    """`sample(quantize='w8a16')` runs the Pallas weight-only path (interpret
+    mode on CPU) and lands near the float sample on identical noise."""
+    vb = _tiny_voicebox()
+    cfm = ConditionalFlowMatcherWrapper(vb)
+    cfm.init_params(jax.random.PRNGKey(0), seq_len=32, batch=2)
+
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 24))
+    ids = jnp.zeros((2, 32), dtype=jnp.int32)
+    rng = jax.random.PRNGKey(3)
+
+    out = cfm.sample(cond=cond, semantic_token_ids=ids, steps=2,
+                     cond_scale=1.3, rng=rng)
+    out_q = cfm.sample(cond=cond, semantic_token_ids=ids, steps=2,
+                       cond_scale=1.3, quantize="w8a16", rng=rng)
+    assert out_q.shape == out.shape
+    assert bool(jnp.all(jnp.isfinite(out_q)))
+    # weight-only rounding is a smaller perturbation than the dynamic path's
+    rel = float(jnp.linalg.norm(out_q - out) / jnp.linalg.norm(out))
+    assert rel < 0.1, rel
 
 
 def test_quantize_kernel_stacked_and_zero_columns():

@@ -169,6 +169,41 @@ class TestFullPipeline:
         assert jnp.isfinite(loss)
 
 
+class TestQuantizedGenerate:
+    """generate(quantize=...) — int8 weights on the weight-HBM-bound AR
+    decode (ops/quant.py). Surgery must hit the decoder + vocab head only;
+    both modes and the spec_decode composition must run end-to-end."""
+
+    def test_surgery_scope(self, tts):
+        q = tts._quantized_params(tts.params)
+        assert "kernel_q" in q["dec_0"]["self_attn"]["to_qkv"]
+        assert "kernel_q" in q["dec_1"]["cross_attn"]["to_kv"]
+        assert "kernel_q" in q["dec_0"]["ff"]["proj_in"]
+        assert "kernel_q" in q["to_logits"]
+        # encoder (one prefill per request) and embeddings stay float
+        assert "kernel" in q["encoder"]["block_0"]["attn"]["to_qkv"]
+        assert "embedding" in q["sem_embed"]
+        # cached per params identity
+        assert tts._quantized_params(tts.params) is q
+
+    @pytest.mark.parametrize("mode", ["w8a16", "int8"])
+    def test_generate_quantized(self, tts, mode):
+        std, m_std = tts.generate(["hello there"], max_length=8,
+                                  return_target_mask=True)
+        out, mask = tts.generate(["hello there"], max_length=8, quantize=mode,
+                                 return_target_mask=True)
+        assert out.shape == std.shape and mask.shape == m_std.shape
+        assert bool(jnp.all((out >= 0) & (out < tts.net.eos_id + 1)))
+
+    def test_spec_decode_composes_with_quantize(self, tts):
+        out = tts.generate(["hello there"], max_length=8, quantize="w8a16",
+                           spec_decode=True, spec_decode_gamma=3)
+        # draft and verify share the quantized weights, so the spec output
+        # equals the quantized greedy output token-for-token
+        std = tts.generate(["hello there"], max_length=8, quantize="w8a16")
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(out))
+
+
 class TestSampledSpecDecode:
     def test_tiny_temperature_matches_greedy(self, tts):
         std = tts.generate(["hello there"], max_length=8)

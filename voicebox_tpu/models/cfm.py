@@ -309,7 +309,9 @@ class ConditionalFlowMatcherWrapper:
         that halves request latency, locally it saves a host round-trip.
 
         With `quantize="int8"` the transformer's Dense matmuls run as s8 x s8
-        -> s32 MXU ops (`ops/quant.py`); the caller passes the pre-quantized
+        -> s32 MXU ops; with `quantize="w8a16"` they run as bf16 MXU ops over
+        int8 weights dequantized in VMEM (half the weight HBM traffic,
+        `ops/quant.py::w8a16_matmul`); the caller passes the pre-quantized
         param tree (`sample()` handles both)."""
         key = (steps, use_cfg, has_ids, has_attn_mask, has_cond_mask, method,
                fuse_decode, quantize)
@@ -326,14 +328,17 @@ class ConditionalFlowMatcherWrapper:
 
         if quantize is None:
             apply_fn = voicebox.apply
-        elif quantize == "int8":
-            from ..ops.quant import quantized_dense
+        else:
+            from ..ops.quant import QUANT_MODES, quantized_dense
+
+            if quantize not in QUANT_MODES:
+                raise ValueError(
+                    f"unknown quantize mode {quantize!r} (use one of {QUANT_MODES})"
+                )
 
             def apply_fn(variables, *args, **kwargs):
-                with quantized_dense():
+                with quantized_dense(quantize):
                     return voicebox.apply(variables, *args, **kwargs)
-        else:
-            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
         def vector_field(params, t, x, cond, cond_token_ids, cond_mask,
                          self_attn_mask, cond_scale):
@@ -451,8 +456,10 @@ class ConditionalFlowMatcherWrapper:
         # "int8": run the transformer's Dense matmuls as s8 x s8 -> s32 MXU
         # ops (2x the bf16 MXU rate on v5e) — weights quantized once per
         # params version, activations dynamically per token (ops/quant.py).
-        # Beyond-parity serving lever, off by default (reference has no
-        # quantized path).
+        # "w8a16": weight-only — int8 weights dequantized inside a Pallas
+        # matmul's VMEM pipeline (half the weight HBM read; best for large
+        # models at small batch). Beyond-parity serving levers, off by
+        # default (reference has no quantized path).
         quantize: Optional[str] = None,
         rng: Optional[jax.Array] = None,
         params=None,

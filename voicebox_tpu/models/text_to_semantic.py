@@ -326,13 +326,51 @@ class TextToSemantic:
 
     # ------------------------------------------------------------------
 
-    def _build_generate(self, batch: int, max_length: int, temperature: float):
+    def _apply_fn(self, quantize):
+        """`net.apply`, optionally routed through the quantized-Dense
+        interceptor (`ops/quant.py`): decoder-block + vocab-head matmuls whose
+        params carry `kernel_q` run int8 ("int8" dynamic / "w8a16" weight-only
+        Pallas); the AR decode at m=1 token is weight-HBM-bound, so the int8
+        weight read is the whole step-time win."""
+        net = self.net
+        if quantize is None:
+            return net.apply
+        from ..ops.quant import quantized_dense
+
+        def apply(*args, **kwargs):
+            with quantized_dense(quantize):
+                return net.apply(*args, **kwargs)
+
+        return apply
+
+    def _quantized_params(self, params):
+        """Seq2seq param surgery, cached per params identity."""
+        cached = getattr(self, "_qparams_cache", None)
+        if cached is not None and cached[0] is params:
+            return cached[1]
+        from ..ops.quant import (
+            SEQ2SEQ_QUANT_LAYERS,
+            SEQ2SEQ_QUANT_SCOPE,
+            quantize_dense_params,
+        )
+
+        qparams = jax.jit(
+            lambda p: quantize_dense_params(
+                p, SEQ2SEQ_QUANT_LAYERS, SEQ2SEQ_QUANT_SCOPE
+            )
+        )(params)
+        self._qparams_cache = (params, qparams)
+        return qparams
+
+    def _build_generate(self, batch: int, max_length: int, temperature: float,
+                        quantize=None):
         net = self.net
         h, d = net.heads, net.dim_head
+        apply = self._apply_fn(quantize)
 
         @jax.jit
         def run(params, text_ids, rng):
-            context, text_mask = net.apply(
+            context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
 
@@ -346,7 +384,7 @@ class TextToSemantic:
 
             def step(carry, i):
                 token, caches, done, key = carry
-                logits, caches = net.apply(
+                logits, caches = apply(
                     {"params": params}, token, i, caches, context, text_mask,
                     method=net.decode_step,
                 )
@@ -377,7 +415,7 @@ class TextToSemantic:
         return run
 
     def _build_generate_spec(self, batch: int, max_length: int, gamma: int,
-                             draft_layers: int):
+                             draft_layers: int, quantize=None):
         """Self-speculative greedy decoding under jit.
 
         Draft = the first `draft_layers` decoder blocks (early-exit, reusing
@@ -391,10 +429,11 @@ class TextToSemantic:
         net = self.net
         h, d = net.heads, net.dim_head
         buf_len = max_length + gamma + 1
+        apply = self._apply_fn(quantize)
 
         @jax.jit
         def run(params, text_ids):
-            context, text_mask = net.apply(
+            context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
 
@@ -426,7 +465,7 @@ class TextToSemantic:
                 # full-acceptance rounds ---
                 def draft_step(carry, j):
                     tok, caches = carry
-                    logits, caches = net.apply(
+                    logits, caches = apply(
                         {"params": params}, tok[:, None], p + j, caches,
                         context, text_mask, num_layers=draft_layers,
                         method=net.decode_chunk,
@@ -443,7 +482,7 @@ class TextToSemantic:
 
                 # --- verify: one full-model chunk over [last, proposals] ---
                 chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
-                logits, full_caches = net.apply(
+                logits, full_caches = apply(
                     {"params": params}, chunk, p, full_caches, context,
                     text_mask, method=net.decode_chunk,
                 )
@@ -496,7 +535,7 @@ class TextToSemantic:
 
     def _build_generate_spec_sampled(self, batch: int, max_length: int,
                                      gamma: int, draft_layers: int,
-                                     temperature: float):
+                                     temperature: float, quantize=None):
         """Sampled speculative decoding (rejection sampling, Leviathan et al.
         2022): draft q proposes, the full model p verifies; token i is accepted
         with prob min(1, p(x_i)/q(x_i)), a rejection resamples from
@@ -508,10 +547,11 @@ class TextToSemantic:
         h, d = net.heads, net.dim_head
         buf_len = max_length + gamma + 1
         inv_t = 1.0 / max(temperature, 1e-6)
+        apply = self._apply_fn(quantize)
 
         @jax.jit
         def run(params, text_ids, rng):
-            context, text_mask = net.apply(
+            context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
 
@@ -541,7 +581,7 @@ class TextToSemantic:
                 def draft_step(carry, inp):
                     tok, caches = carry
                     j, kd = inp
-                    logits, caches = net.apply(
+                    logits, caches = apply(
                         {"params": params}, tok[:, None], p + j, caches,
                         context, text_mask, num_layers=draft_layers,
                         method=net.decode_chunk,
@@ -561,7 +601,7 @@ class TextToSemantic:
 
                 # --- verify chunk with the full model ---
                 chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
-                logits, full_caches = net.apply(
+                logits, full_caches = apply(
                     {"params": params}, chunk, p, full_caches, context,
                     text_mask, method=net.decode_chunk,
                 )
@@ -661,6 +701,11 @@ class TextToSemantic:
         # self-speculative early-exit half). The speedup is acceptance-rate-
         # dependent: deeper drafts agree more but cost more per proposal.
         spec_decode_draft_layers=None,
+        # "int8" / "w8a16": run the decoder's matmuls over int8 weights
+        # (ops/quant.py) — the m=1 AR decode is weight-HBM-bound, so the int8
+        # weight read directly cuts per-token latency. Composes with
+        # spec_decode. Beyond-parity serving lever, off by default.
+        quantize=None,
         rng=None,
         params=None,
     ):
@@ -670,6 +715,8 @@ class TextToSemantic:
         )
         params = params if params is not None else self.params
         assert params is not None, "call init_params() first or pass params="
+        if quantize is not None:
+            params = self._quantized_params(params)
 
         if isinstance(source, (list, tuple)) and isinstance(source[0], str):
             source = jnp.asarray(self.tokenizer.texts_to_tensor_ids(list(source)))
@@ -682,28 +729,33 @@ class TextToSemantic:
         if spec_decode and temperature == 0.0:
             draft_layers = int(spec_decode_draft_layers)
             key = ("spec", batch, int(max_length), int(spec_decode_gamma),
-                   draft_layers)
+                   draft_layers, quantize)
             if key not in self._samplers:
                 self._samplers[key] = self._build_generate_spec(
-                    batch, int(max_length), int(spec_decode_gamma), draft_layers
+                    batch, int(max_length), int(spec_decode_gamma),
+                    draft_layers, quantize=quantize,
                 )
             tokens, mask = self._samplers[key](params, source)
         elif spec_decode:
             draft_layers = int(spec_decode_draft_layers)
             key = ("spec_sampled", batch, int(max_length),
-                   int(spec_decode_gamma), draft_layers, float(temperature))
+                   int(spec_decode_gamma), draft_layers, float(temperature),
+                   quantize)
             if key not in self._samplers:
                 self._samplers[key] = self._build_generate_spec_sampled(
                     batch, int(max_length), int(spec_decode_gamma),
-                    draft_layers, float(temperature),
+                    draft_layers, float(temperature), quantize=quantize,
                 )
             tokens, mask = self._samplers[key](
                 params, source, rng if rng is not None else self._next_rng()
             )
         else:
-            key = (batch, int(max_length), float(temperature))
+            key = (batch, int(max_length), float(temperature), quantize)
             if key not in self._samplers:
-                self._samplers[key] = self._build_generate(*key)
+                self._samplers[key] = self._build_generate(
+                    batch, int(max_length), float(temperature),
+                    quantize=quantize,
+                )
             tokens, mask = self._samplers[key](
                 params, source, rng if rng is not None else self._next_rng()
             )

@@ -1,23 +1,29 @@
 """Int8 inference quantization for the sampling path (opt-in, TPU-native).
 
-The v5e MXU executes s8 x s8 -> s32 matmuls at ~2x the bf16 FLOP rate
-(394 TOPS vs 197 TFLOPs), and ~80% of a sampling forward's FLOPs live in the
-transformer's weight matmuls (qkv/out projections + GEGLU feed-forward). This
-module quantizes exactly those matmuls:
+Two quantized-matmul modes over the same int8 weight format (symmetric
+per-output-channel, `quantize_dense_params` folds the scales out of the param
+tree once, cached by the sampler per params identity):
 
-* weights: symmetric per-output-channel int8, scales folded out of the kernel
-  once (`quantize_dense_params` — one pass over the param tree, cached by the
-  sampler per params identity);
-* activations: dynamic symmetric per-token int8 (absmax over the feature
-  axis), computed inside the fused program — XLA fuses the absmax/round into
-  the surrounding elementwise work;
-* accumulation: int32 on the MXU (`lax.dot_general` with
-  `preferred_element_type=int32`), dequantized by `row_scale * col_scale`.
+* `"int8"` — dynamic activation quantization: activations become symmetric
+  per-token int8 (absmax over the feature axis) inside the fused program and
+  the MXU runs s8 x s8 -> s32 at ~2x the bf16 FLOP rate (394 TOPS vs 197
+  TFLOPs on v5e). Wins when the matmuls are FLOP-bound; the absmax/round
+  passes are elementwise overhead XLA cannot fuse into dot operands.
+* `"w8a16"` — weight-only: a Pallas kernel (`w8a16_matmul`) streams the int8
+  weight blocks through VMEM and dequantizes them INSIDE the dot's operand
+  pipeline (int8 -> bf16 convert on the VPU, overlapped with the MXU), so the
+  weight's HBM traffic halves while activations stay untouched — no dynamic
+  quantization work, bf16 MXU rate. Wins in the weight-HBM-bound regime
+  (large model, small batch), exactly where PERFORMANCE.md measured the
+  "int8" mode's gains being eaten by the activation passes.
 
-Everything else (norms — f32 by design, rotary, attention score math, time
-MLP, embeddings, `to_pred`, the AdaptiveRMSNorm conditioning projections whose
-zero-init columns have no absmax to scale by) stays in the model's compute
-dtype: those are the numerics-sensitive and/or FLOP-light pieces.
+Both modes quantize only the transformer's weight matmuls (qkv/out
+projections + GEGLU feed-forward + skip combiners — ~80% of a sampling
+forward's FLOPs). Everything else (norms — f32 by design, rotary, attention
+score math, time MLP, embeddings, `to_pred`, the AdaptiveRMSNorm conditioning
+projections whose zero-init columns have no absmax to scale by) stays in the
+model's compute dtype: those are the numerics-sensitive and/or FLOP-light
+pieces.
 
 Wiring is non-invasive: `int8_dense_interceptor` (a `flax.linen
 .intercept_methods` interceptor) swaps the matmul inside stock `nn.Dense`
@@ -31,20 +37,28 @@ a beyond-parity serving feature, off by default.
 from __future__ import annotations
 
 import contextlib
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.experimental import pallas as pl
 
 __all__ = [
     "DEFAULT_QUANT_LAYERS",
+    "SEQ2SEQ_QUANT_LAYERS",
+    "SEQ2SEQ_QUANT_SCOPE",
+    "QUANT_MODES",
     "quantize_kernel",
     "int8_matmul",
+    "w8a16_matmul",
     "quantize_dense_params",
     "int8_dense_interceptor",
     "quantized_dense",
 ]
+
+QUANT_MODES = ("int8", "w8a16")
 
 # Dense module names to quantize, all inside the transformer blocks: the
 # attention projections, the GEGLU feed-forward, and the U-Net skip combiners.
@@ -60,6 +74,20 @@ DEFAULT_QUANT_LAYERS = (
 # top-level `proj_in` (the latent projection, outside any transformer) must
 # NOT be caught by the feed-forward's `proj_in` name
 _SCOPE_KEY = "transformer"
+
+# TextToSemantic's AR decode hot path: the decoder blocks' self/cross
+# attention + FF projections and the vocab head. The encoder (one prefill per
+# request) stays float — its scope keys don't match.
+SEQ2SEQ_QUANT_LAYERS = (
+    "to_qkv",
+    "to_out",
+    "to_q",
+    "to_kv",
+    "proj_in",
+    "proj_out",
+    "to_logits",
+)
+SEQ2SEQ_QUANT_SCOPE = ("dec_", "to_logits")
 
 
 def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -102,15 +130,90 @@ def int8_matmul(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array) -> j
     return out.astype(x.dtype)
 
 
-def _in_scope(path: Tuple[str, ...]) -> bool:
-    return any(_SCOPE_KEY in key for key in path)
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
-def quantize_dense_params(params, layer_names: Sequence[str] = DEFAULT_QUANT_LAYERS):
+def _w8a16_kernel(x_ref, wq_ref, s_ref, o_ref):
+    # Dequant rides in the dot's operand pipeline: the int8 block was fetched
+    # from HBM (half the bf16 bytes) and converts in VMEM on the VPU — at
+    # 2·m FLOPs of MXU work per weight element the convert never bottlenecks.
+    w = wq_ref[...].astype(x_ref.dtype)
+    acc = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def w8a16_matmul(
+    x: jax.Array,
+    kernel_q: jax.Array,
+    kernel_scale: jax.Array,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """`x @ dequant(kernel)` with the int8 weight dequantized in VMEM.
+
+    `x`: (..., in) any float dtype; `kernel_q`: (in, out) int8;
+    `kernel_scale`: (1, out) or (out,) f32. Returns x.dtype.
+
+    Grid order is (n_blocks, m_blocks) with m fastest, so each weight block's
+    index is unchanged across consecutive grid steps and Pallas fetches it
+    from HBM exactly once — total weight traffic is in·out bytes (vs 2·in·out
+    for a bf16 kernel), which is the whole win in the weight-bound regime.
+    Activation blocks re-stream once per n block; they are small there.
+    """
+    *lead, k = x.shape
+    k_w, n = kernel_q.shape
+    assert k == k_w, (x.shape, kernel_q.shape)
+    scale = kernel_scale.reshape(1, n).astype(jnp.float32)
+
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    block_m = min(block_m, _round_up(m, 16))
+    block_n = min(block_n, _round_up(n, 128))
+    mp, kp, np_ = _round_up(m, block_m), _round_up(k, 128), _round_up(n, block_n)
+    if (mp, kp) != (m, k):
+        x2 = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        kernel_q = jnp.pad(kernel_q, ((0, kp - k), (0, np_ - n)))
+        scale = jnp.pad(scale, ((0, 0), (0, np_ - n)))
+
+    out = pl.pallas_call(
+        _w8a16_kernel,
+        grid=(np_ // block_n, mp // block_m),
+        in_specs=[
+            pl.BlockSpec((block_m, kp), lambda j, i: (i, 0)),
+            pl.BlockSpec((kp, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        interpret=interpret,
+    )(x2, kernel_q, scale)
+    return out[:m, :n].reshape(*lead, n)
+
+
+def _in_scope(path: Tuple[str, ...], scope_keys: Sequence[str]) -> bool:
+    return any(scope in key for key in path for scope in scope_keys)
+
+
+def quantize_dense_params(
+    params,
+    layer_names: Sequence[str] = DEFAULT_QUANT_LAYERS,
+    scope_keys: Sequence[str] = (_SCOPE_KEY,),
+):
     """Replace `kernel` with `kernel_q` (int8) + `kernel_scale` (f32) for every
-    Dense submodule named in `layer_names` inside the transformer subtree.
-    Biases and everything else pass through unchanged. Pure — safe to jit
-    (layer_names is static)."""
+    Dense submodule named in `layer_names` whose tree path (including its own
+    name) contains one of `scope_keys` as a substring. Biases and everything
+    else pass through unchanged. Pure — safe to jit (the name/scope arguments
+    are static)."""
     names = frozenset(layer_names)
 
     def walk(tree, path):
@@ -122,7 +225,7 @@ def quantize_dense_params(params, layer_names: Sequence[str] = DEFAULT_QUANT_LAY
                 isinstance(val, dict)
                 and key in names
                 and "kernel" in val
-                and _in_scope(path)
+                and _in_scope(path + (key,), scope_keys)
             ):
                 q, scale = quantize_kernel(val["kernel"])
                 new_val = {k: v for k, v in val.items() if k != "kernel"}
@@ -136,11 +239,11 @@ def quantize_dense_params(params, layer_names: Sequence[str] = DEFAULT_QUANT_LAY
     return walk(params, ())
 
 
-def int8_dense_interceptor(next_fun, args, kwargs, context):
+def int8_dense_interceptor(next_fun, args, kwargs, context, mode: str = "int8"):
     """`flax.linen.intercept_methods` interceptor: any stock `nn.Dense` whose
-    params carry `kernel_q` runs the int8 MXU matmul; all other modules (and
-    Dense modules with a float `kernel`) fall through to their original
-    method."""
+    params carry `kernel_q` runs the quantized matmul for `mode`; all other
+    modules (and Dense modules with a float `kernel`) fall through to their
+    original method."""
     module = context.module
     if (
         context.method_name == "__call__"
@@ -150,7 +253,11 @@ def int8_dense_interceptor(next_fun, args, kwargs, context):
         (x,) = args
         kernel_q = module.get_variable("params", "kernel_q")
         kernel_scale = module.get_variable("params", "kernel_scale")
-        y = int8_matmul(x, kernel_q, kernel_scale)
+        if mode == "int8":
+            y = int8_matmul(x, kernel_q, kernel_scale)
+        else:  # w8a16 — Pallas on TPU, interpreter elsewhere (tests/CPU)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            y = w8a16_matmul(x, kernel_q, kernel_scale, interpret=interpret)
         if module.use_bias:
             bias = module.get_variable("params", "bias")
             y = y + bias.astype(y.dtype)
@@ -159,9 +266,14 @@ def int8_dense_interceptor(next_fun, args, kwargs, context):
 
 
 @contextlib.contextmanager
-def quantized_dense():
+def quantized_dense(mode: str = "int8"):
     """Context manager under which flax `apply` calls route quantized Dense
-    modules through the int8 MXU path. Must be active while the computation
+    modules through the `mode` matmul ("int8" dynamic-activation MXU path or
+    "w8a16" weight-only Pallas path). Must be active while the computation
     is TRACED (wrap the `.apply` call inside the jitted function)."""
-    with nn.intercept_methods(int8_dense_interceptor):
+    if mode not in QUANT_MODES:
+        raise ValueError(f"unknown quantize mode {mode!r} (use one of {QUANT_MODES})")
+    with nn.intercept_methods(
+        functools.partial(int8_dense_interceptor, mode=mode)
+    ):
         yield

@@ -52,8 +52,9 @@ class TTSEngine:
         frames_per_token: int = 8,
         frame_buckets: Optional[Sequence[int]] = None,
         # "int8": serve the denoiser's transformer matmuls on the MXU's s8
-        # path (ops/quant.py) — higher throughput/chip, small output
-        # perturbation; off by default
+        # path; "w8a16": weight-only int8 with in-VMEM Pallas dequant — best
+        # per-request latency for large models at small batch (ops/quant.py).
+        # Small output perturbation; off by default
         quantize: Optional[str] = None,
     ):
         assert cfm_wrapper.params is not None, "wrapper must be initialised"

@@ -92,6 +92,38 @@ def test_sample_w8a16_end_to_end():
     assert rel < 0.1, rel
 
 
+def test_sample_param_store_dtype():
+    """`sample(param_store_dtype=bf16)` serves from a cached bf16 cast of the
+    params — numerically a rounding-level perturbation, composable with
+    quantize, one cast per params version."""
+    vb = _tiny_voicebox()
+    cfm = ConditionalFlowMatcherWrapper(vb)
+    cfm.init_params(jax.random.PRNGKey(0), seq_len=32, batch=2)
+
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 24))
+    ids = jnp.zeros((2, 32), dtype=jnp.int32)
+    kw = dict(cond=cond, semantic_token_ids=ids, steps=2, cond_scale=1.3,
+              rng=jax.random.PRNGKey(3))
+
+    out = cfm.sample(**kw)
+    out_h = cfm.sample(param_store_dtype=jnp.bfloat16, **kw)
+    assert out_h.shape == out.shape and bool(jnp.all(jnp.isfinite(out_h)))
+
+    # cast is cached per params identity
+    first = cfm._stored_cache
+    cfm.sample(param_store_dtype=jnp.bfloat16, **kw)
+    assert cfm._stored_cache is first
+    assert all(
+        leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree.leaves(first[2])
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+
+    # composes with int8: surgery runs on the bf16-stored tree
+    out_hq = cfm.sample(param_store_dtype=jnp.bfloat16, quantize="int8", **kw)
+    assert bool(jnp.all(jnp.isfinite(out_hq)))
+
+
 def test_quantize_kernel_stacked_and_zero_columns():
     # scan_layers-style stacked kernel: per-(layer, out-channel) scales
     rs = np.random.RandomState(1)

@@ -195,6 +195,16 @@ class TestQuantizedGenerate:
         assert out.shape == std.shape and mask.shape == m_std.shape
         assert bool(jnp.all((out >= 0) & (out < tts.net.eos_id + 1)))
 
+    def test_param_store_dtype(self, tts):
+        out, mask = tts.generate(["hello there"], max_length=8,
+                                 param_store_dtype=jnp.bfloat16,
+                                 return_target_mask=True)
+        assert out.shape == mask.shape
+        first = tts._stored_cache
+        tts.generate(["hello there"], max_length=8,
+                     param_store_dtype=jnp.bfloat16)
+        assert tts._stored_cache is first
+
     def test_spec_decode_composes_with_quantize(self, tts):
         out = tts.generate(["hello there"], max_length=8, quantize="w8a16",
                            spec_decode=True, spec_decode_gamma=3)

@@ -423,6 +423,20 @@ class ConditionalFlowMatcherWrapper:
         self._qparams_cache = (params, quantize, qparams)
         return qparams
 
+    def _stored_params(self, params, dtype):
+        """Serving storage-dtype cast (`ops/quant.py::cast_float_params`),
+        cached per params identity."""
+        cached = getattr(self, "_stored_cache", None)
+        if cached is not None and cached[0] is params and cached[1] == dtype:
+            return cached[2]
+        from ..ops.quant import cast_float_params
+
+        sparams = jax.jit(
+            cast_float_params, static_argnames=("dtype",)
+        )(params, dtype=dtype)
+        self._stored_cache = (params, dtype, sparams)
+        return sparams
+
     def sample(
         self,
         *,
@@ -461,6 +475,13 @@ class ConditionalFlowMatcherWrapper:
         # models at small batch). Beyond-parity serving levers, off by
         # default (reference has no quantized path).
         quantize: Optional[str] = None,
+        # Serve from params stored in this dtype (one cached cast per params
+        # version). bf16 storage is numerically FREE for a bf16-compute model
+        # (flax was already downcasting the kernels at use) and halves the
+        # HBM read of the f32-computed adaptive-norm projections — measured
+        # 1.10x at dim 1024 batch 1, 1.23x combined with quantize="int8"
+        # (ops/quant.py::cast_float_params). None keeps the checkpoint dtype.
+        param_store_dtype: Optional[jnp.dtype] = None,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
@@ -597,6 +618,8 @@ class ConditionalFlowMatcherWrapper:
             fuse_decode,
             quantize,
         )
+        if param_store_dtype is not None:
+            params = self._stored_params(params, param_store_dtype)
         if quantize is not None:
             params = self._quantized_params(params, quantize)
         codec_params = codec.decode_fn()[1] if fuse_decode else None

@@ -706,6 +706,10 @@ class TextToSemantic:
         # weight read directly cuts per-token latency. Composes with
         # spec_decode. Beyond-parity serving lever, off by default.
         quantize=None,
+        # serve from params stored in this dtype (cached cast per params
+        # version; ops/quant.py::cast_float_params) — halves the f32 weight
+        # read of the decode loop at zero cost to bf16-compute numerics
+        param_store_dtype=None,
         rng=None,
         params=None,
     ):
@@ -715,6 +719,18 @@ class TextToSemantic:
         )
         params = params if params is not None else self.params
         assert params is not None, "call init_params() first or pass params="
+        if param_store_dtype is not None:
+            cached = getattr(self, "_stored_cache", None)
+            if cached is not None and cached[0] is params and cached[1] == param_store_dtype:
+                params = cached[2]
+            else:
+                from ..ops.quant import cast_float_params
+
+                sparams = jax.jit(
+                    cast_float_params, static_argnames=("dtype",)
+                )(params, dtype=param_store_dtype)
+                self._stored_cache = (params, param_store_dtype, sparams)
+                params = sparams
         if quantize is not None:
             params = self._quantized_params(params)
 

@@ -53,6 +53,7 @@ __all__ = [
     "quantize_kernel",
     "int8_matmul",
     "w8a16_matmul",
+    "cast_float_params",
     "quantize_dense_params",
     "int8_dense_interceptor",
     "quantized_dense",
@@ -200,6 +201,21 @@ def w8a16_matmul(
     return out[:m, :n].reshape(*lead, n)
 
 
+def cast_float_params(params, dtype=jnp.bfloat16):
+    """Cast every float param leaf to `dtype` — a storage-dtype change for
+    serving. With a bf16-compute model this is numerically free for the Dense
+    kernels (flax was already downcasting them at use) and halves the HBM
+    read of the f32-computed pieces (the AdaptiveRMSNorm conditioning
+    projections — 57% of the reference-default model's params — convert
+    bf16->f32 on the VPU instead of streaming f32 from HBM). Measured: the
+    dim-1024 batch-1 sampling pipeline runs 1.10x faster on bf16-stored
+    params, 1.23x combined with quantize="int8" (PERFORMANCE.md)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
 def _in_scope(path: Tuple[str, ...], scope_keys: Sequence[str]) -> bool:
     return any(scope in key for key in path for scope in scope_keys)
 
@@ -251,6 +267,13 @@ def int8_dense_interceptor(next_fun, args, kwargs, context, mode: str = "int8"):
         and module.has_variable("params", "kernel_q")
     ):
         (x,) = args
+        # honour the module's compute dtype (flax promote_dtype semantics):
+        # a float Dense would cast its input to `dtype` before the matmul,
+        # so the quantized path must too — otherwise an e.g. bf16 embedding
+        # output stays bf16 through an f32-dtype decode step and collides
+        # with its f32 KV cache downstream
+        if module.dtype is not None and x.dtype != module.dtype:
+            x = x.astype(module.dtype)
         kernel_q = module.get_variable("params", "kernel_q")
         kernel_scale = module.get_variable("params", "kernel_scale")
         if mode == "int8":

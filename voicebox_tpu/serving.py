@@ -56,6 +56,10 @@ class TTSEngine:
         # per-request latency for large models at small batch (ops/quant.py).
         # Small output perturbation; off by default
         quantize: Optional[str] = None,
+        # serve from bf16-stored params: numerically free for a bf16-compute
+        # model, halves the f32 weight HBM read (ops/quant.py::
+        # cast_float_params) — measured 1.10x per-request at dim 1024
+        param_store_dtype: Optional[jnp.dtype] = None,
     ):
         assert cfm_wrapper.params is not None, "wrapper must be initialised"
         assert (
@@ -78,6 +82,7 @@ class TTSEngine:
         self.decode_to_audio = decode_to_audio
         self.frames_per_token = frames_per_token
         self.quantize = quantize
+        self.param_store_dtype = param_store_dtype
         if frame_buckets is None:
             frame_buckets = tuple(b * frames_per_token for b in self.text_buckets)
         self.frame_buckets = tuple(sorted(frame_buckets))
@@ -169,6 +174,7 @@ class TTSEngine:
                 decode_to_audio=self.decode_to_audio,
                 return_lengths=True,
                 quantize=self.quantize,
+                param_store_dtype=self.param_store_dtype,
                 rng=chunk_rng,
             )
             outs.append(out[: chunk.shape[0]])
@@ -201,6 +207,7 @@ class TTSEngine:
                     decode_to_audio=self.decode_to_audio,
                     return_lengths=True,
                     quantize=self.quantize,
+                param_store_dtype=self.param_store_dtype,
                 )
                 jnp.asarray(out).block_until_ready()
                 if verbose:

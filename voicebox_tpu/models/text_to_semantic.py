@@ -103,24 +103,41 @@ class _CrossAttention(nn.Module):
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, context, context_mask=None):
-        b, n, _ = x.shape
-        m = context.shape[1]
+    def setup(self):
         h, d = self.heads, self.dim_head
-        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(h * d * 2, use_bias=False, dtype=self.dtype, name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
-        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        self.to_q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="to_q")
+        self.to_kv = nn.Dense(h * d * 2, use_bias=False, dtype=self.dtype,
+                              name="to_kv")
+        self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                               name="to_out")
+
+    def kv(self, context):
+        """Project context to (k, v), each (b, h, m, d) — computable ONCE at
+        prefill: the context never changes during AR decode, so recomputing
+        this per step (as a naive decode loop does) wastes a context-sized
+        matmul + reshape chain per layer per token."""
+        b, m, _ = context.shape
+        h, d = self.heads, self.dim_head
+        k, v = jnp.split(self.to_kv(context), 2, axis=-1)
         k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        return k, v
+
+    def __call__(self, x, context=None, context_mask=None, kv=None):
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        q = self.to_q(x)
+        if kv is None:
+            kv = self.kv(context)
+        k, v = kv
+        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
         sim = jnp.einsum("bhid,bhjd->bhij", q, k) * (d**-0.5)
         if context_mask is not None:
             sim = jnp.where(context_mask[:, None, None, :], sim, -1e9)
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return self.to_out(out)
 
 
 class _DecoderBlock(nn.Module):
@@ -130,19 +147,34 @@ class _DecoderBlock(nn.Module):
     ff_mult: float = 4.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, context, context_mask=None, position=None, cache=None):
-        attn_out, new_cache = _CachedSelfAttention(
+    def setup(self):
+        self.self_norm = RMSNorm(self.dim, name="self_norm")
+        self.self_attn = _CachedSelfAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, name="self_attn",
-        )(RMSNorm(self.dim, name="self_norm")(x), position=position, cache=cache)
-        x = x + attn_out
-        x = x + _CrossAttention(
+        )
+        self.cross_norm = RMSNorm(self.dim, name="cross_norm")
+        self.cross_attn = _CrossAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, name="cross_attn",
-        )(RMSNorm(self.dim, name="cross_norm")(x), context, context_mask)
-        x = x + FeedForward(dim=self.dim, mult=self.ff_mult, dtype=self.dtype,
-                            name="ff")(RMSNorm(self.dim, name="ff_norm")(x))
+        )
+        self.ff_norm = RMSNorm(self.dim, name="ff_norm")
+        self.ff = FeedForward(dim=self.dim, mult=self.ff_mult,
+                              dtype=self.dtype, name="ff")
+
+    def cross_kv(self, context):
+        return self.cross_attn.kv(context)
+
+    def __call__(self, x, context=None, context_mask=None, position=None,
+                 cache=None, cross_kv=None):
+        attn_out, new_cache = self.self_attn(
+            self.self_norm(x), position=position, cache=cache
+        )
+        x = x + attn_out
+        x = x + self.cross_attn(
+            self.cross_norm(x), context, context_mask, kv=cross_kv
+        )
+        x = x + self.ff(self.ff_norm(x))
         return x, new_cache
 
 
@@ -206,13 +238,24 @@ class _Seq2Seq(nn.Module):
             x, _ = block(x, context, text_mask)
         return self.to_logits(self.final_norm(x))
 
-    def decode_step(self, token, position, caches, context, text_mask):
+    def precompute_cross_kv(self, context):
+        """Per-layer cross-attention (k, v) projections of the encoder
+        context — computed ONCE at prefill and reused by every decode step
+        (the context is decode-invariant; recomputing the projection per
+        step added a context-length matmul chain per layer per token)."""
+        return tuple(block.cross_kv(context) for block in self.blocks)
+
+    def decode_step(self, token, position, caches, context, text_mask,
+                    cross_kvs=None):
         """One AR step: token (b,) -> logits (b, vocab), updated caches."""
         x = self.sem_embed(token[:, None])  # (b, 1, d)
+        if cross_kvs is None:
+            cross_kvs = (None,) * len(self.blocks)
         new_caches = []
-        for block, cache in zip(self.blocks, caches):
+        for block, cache, ckv in zip(self.blocks, caches, cross_kvs):
             x, new_cache = block(
-                x, context, text_mask, position=position, cache=cache
+                x, context, text_mask, position=position, cache=cache,
+                cross_kv=ckv,
             )
             new_caches.append(new_cache)
         logits = self.to_logits(self.final_norm(x))[:, 0]
@@ -223,17 +266,20 @@ class _Seq2Seq(nn.Module):
         return logits, tuple(new_caches)
 
     def decode_chunk(self, tokens, position, caches, context, text_mask,
-                     num_layers: Optional[int] = None):
+                     num_layers: Optional[int] = None, cross_kvs=None):
         """Chunked decode: tokens (b, n) at positions [position, position+n)
         -> logits (b, n, vocab). `num_layers` truncates the decoder stack —
         the self-speculative early-exit draft model (it reuses the full
         model's norm/logits head)."""
         x = self.sem_embed(tokens)
         blocks = self.blocks if num_layers is None else self.blocks[:num_layers]
+        if cross_kvs is None:
+            cross_kvs = (None,) * len(blocks)
         cache_out = []
-        for block, cache in zip(blocks, caches):
+        for block, cache, ckv in zip(blocks, caches, cross_kvs):
             x, new_cache = block(
-                x, context, text_mask, position=position, cache=cache
+                x, context, text_mask, position=position, cache=cache,
+                cross_kv=ckv,
             )
             cache_out.append(new_cache)
         logits = self.to_logits(self.final_norm(x))
@@ -373,6 +419,9 @@ class TextToSemantic:
             context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
+            cross_kvs = apply(
+                {"params": params}, context, method=net.precompute_cross_kv
+            )
 
             caches = tuple(
                 (
@@ -386,7 +435,7 @@ class TextToSemantic:
                 token, caches, done, key = carry
                 logits, caches = apply(
                     {"params": params}, token, i, caches, context, text_mask,
-                    method=net.decode_step,
+                    cross_kvs=cross_kvs, method=net.decode_step,
                 )
                 key, sub = jax.random.split(key)
                 if temperature == 0.0:
@@ -436,6 +485,9 @@ class TextToSemantic:
             context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
+            cross_kvs = apply(
+                {"params": params}, context, method=net.precompute_cross_kv
+            )
 
             def make_caches(n_layers):
                 return tuple(
@@ -468,6 +520,7 @@ class TextToSemantic:
                     logits, caches = apply(
                         {"params": params}, tok[:, None], p + j, caches,
                         context, text_mask, num_layers=draft_layers,
+                        cross_kvs=cross_kvs[:draft_layers],
                         method=net.decode_chunk,
                     )
                     nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -484,7 +537,7 @@ class TextToSemantic:
                 chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
                 logits, full_caches = apply(
                     {"params": params}, chunk, p, full_caches, context,
-                    text_mask, method=net.decode_chunk,
+                    text_mask, cross_kvs=cross_kvs, method=net.decode_chunk,
                 )
                 g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (b, gamma+1)
 
@@ -554,6 +607,9 @@ class TextToSemantic:
             context, text_mask = apply(
                 {"params": params}, text_ids, method=net.encode_text
             )
+            cross_kvs = apply(
+                {"params": params}, context, method=net.precompute_cross_kv
+            )
 
             def make_caches(n_layers):
                 return tuple(
@@ -584,6 +640,7 @@ class TextToSemantic:
                     logits, caches = apply(
                         {"params": params}, tok[:, None], p + j, caches,
                         context, text_mask, num_layers=draft_layers,
+                        cross_kvs=cross_kvs[:draft_layers],
                         method=net.decode_chunk,
                     )
                     logq = jax.nn.log_softmax(logits[:, 0] * inv_t, axis=-1)
@@ -603,7 +660,7 @@ class TextToSemantic:
                 chunk = jnp.concatenate([last_token[:, None], proposals], axis=1)
                 logits, full_caches = apply(
                     {"params": params}, chunk, p, full_caches, context,
-                    text_mask, method=net.decode_chunk,
+                    text_mask, cross_kvs=cross_kvs, method=net.decode_chunk,
                 )
                 logps = jax.nn.log_softmax(logits * inv_t, axis=-1)  # (b, g+1, v)
 

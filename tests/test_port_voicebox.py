@@ -1,0 +1,241 @@
+"""VoiceBox checkpoint migration from the reference build.
+
+`utils/port_weights.py::load_voicebox_torch` ports a reference
+voicebox-pytorch state dict (module layout voicebox_pytorch.py:911-966,
+transformer :353-406) into our flax param tree. These tests build a
+reference-layout state dict, port it, and compare the FULL forward against an
+independently written torch restatement of the reference math (same approach
+as tests/test_reference_parity.py — torch side uses tanh-approximate GELU to
+match our denoiser; the erf/tanh delta is documented in PERFORMANCE.md).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from voicebox_tpu import VoiceBox
+from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
+from voicebox_tpu.utils.port_weights import load_voicebox_torch
+
+DIM, DIM_IN, DIM_COND = 64, 24, 32
+DEPTH, HEADS, DIM_HEAD, N_REG = 2, 2, 16, 2
+N_COND_TOKENS = 50
+TIME_HIDDEN = 4 * DIM
+FF_INNER = int(DIM * 4 * 2 / 3)
+
+
+def _reference_state_dict(seed=0):
+    """A state dict with the reference's exact key names and tensor layouts
+    (torch Linear (out, in), depthwise Conv1d (dim, 1, k)), random values."""
+    rs = np.random.RandomState(seed)
+
+    def t(*shape, scale=0.2):
+        return torch.from_numpy(rs.randn(*shape).astype(np.float32) * scale)
+
+    sd = {
+        "sinu_pos_emb.0.weights": t(DIM // 2, scale=1.0),
+        "sinu_pos_emb.1.weight": t(TIME_HIDDEN, DIM),
+        "sinu_pos_emb.1.bias": t(TIME_HIDDEN),
+        "to_cond_emb.weight": t(N_COND_TOKENS + 1, DIM_COND),
+        "to_embed.weight": t(DIM, 2 * DIM_IN + DIM_COND),
+        "to_embed.bias": t(DIM),
+        "null_cond": torch.zeros(DIM_IN),  # requires_grad=False zeros — skipped
+        "conv_embed.dw_conv1d.0.weight": t(DIM, 1, 31),
+        "conv_embed.dw_conv1d.0.bias": t(DIM),
+        "to_pred.weight": t(DIM_IN, DIM),
+        "transformer.register_tokens": t(N_REG, DIM),
+        "transformer.final_norm.gamma": 1.0 + t(DIM, scale=0.05),
+    }
+    for i in range(DEPTH):
+        lp = f"transformer.layers.{i}"
+        sd.update({
+            # AdaptiveRMSNorm prenorms: NOT zero-init — a trained checkpoint
+            # has real values here, so identity-init must not mask bugs
+            f"{lp}.2.to_gamma.weight": t(DIM, TIME_HIDDEN, scale=0.05),
+            f"{lp}.2.to_gamma.bias": 1.0 + t(DIM, scale=0.05),
+            f"{lp}.2.to_beta.weight": t(DIM, TIME_HIDDEN, scale=0.05),
+            f"{lp}.2.to_beta.bias": t(DIM, scale=0.05),
+            f"{lp}.3.to_qkv.weight": t(3 * HEADS * DIM_HEAD, DIM),
+            f"{lp}.3.to_out.weight": t(DIM, HEADS * DIM_HEAD),
+            f"{lp}.3.q_norm.gamma": 1.0 + t(HEADS, 1, DIM_HEAD, scale=0.05),
+            f"{lp}.3.k_norm.gamma": 1.0 + t(HEADS, 1, DIM_HEAD, scale=0.05),
+            f"{lp}.4.to_gamma.weight": t(DIM, TIME_HIDDEN, scale=0.05),
+            f"{lp}.4.to_gamma.bias": 1.0 + t(DIM, scale=0.05),
+            f"{lp}.4.to_beta.weight": t(DIM, TIME_HIDDEN, scale=0.05),
+            f"{lp}.4.to_beta.bias": t(DIM, scale=0.05),
+            f"{lp}.5.0.weight": t(2 * FF_INNER, DIM),
+            f"{lp}.5.0.bias": t(2 * FF_INNER),
+            f"{lp}.5.3.weight": t(DIM, FF_INNER),
+            f"{lp}.5.3.bias": t(DIM),
+        })
+    return sd
+
+
+def _torch_forward(sd, x, times, cond, cond_ids, cond_mask):
+    """The reference VoiceBox.forward at eval (voicebox_pytorch.py:987-1092),
+    restated functionally from the cited math. tanh GELU (see module doc)."""
+
+    def lin(name, v):
+        out = v @ sd[f"{name}.weight"].T
+        if f"{name}.bias" in sd:
+            out = out + sd[f"{name}.bias"]
+        return out
+
+    b, n, _ = x.shape
+    scale = DIM ** 0.5
+
+    # cond zeroed inside the generation span (:1031-1035)
+    cond = cond * (~cond_mask)[..., None]
+    cond_emb = sd["to_cond_emb.weight"][cond_ids]  # ids already at seq length
+    xx = lin("to_embed", torch.cat([x, cond_emb, cond], dim=-1))
+
+    # ConvPositionEmbed residual (:1080): depthwise conv + GELU, no mask
+    c = F.conv1d(
+        xx.transpose(1, 2), sd["conv_embed.dw_conv1d.0.weight"],
+        sd["conv_embed.dw_conv1d.0.bias"], padding=15, groups=DIM,
+    )
+    xx = F.gelu(c, approximate="tanh").transpose(1, 2) + xx
+
+    # time embedding (:916-920, 154-167)
+    f = times[:, None] * sd["sinu_pos_emb.0.weights"][None] * 2 * math.pi
+    te = F.silu(lin("sinu_pos_emb.1", torch.cat([f.sin(), f.cos()], dim=-1)))
+
+    # registers + rotary positions (registers at -10000, :438-441)
+    reg = sd["transformer.register_tokens"][None].expand(b, -1, -1)
+    xx = torch.cat([reg, xx], dim=1)
+    pos = torch.cat([
+        torch.full((N_REG,), -10000.0), torch.arange(n, dtype=torch.float32)
+    ])
+    inv = 1.0 / (50000.0 ** (torch.arange(0, DIM_HEAD, 2).float() / DIM_HEAD))
+    freqs = pos[:, None] * inv[None]
+    rotary = torch.cat([freqs, freqs], dim=-1)
+
+    def ada_norm(v, prefix):
+        g = lin(f"{prefix}.to_gamma", te)[:, None]
+        bta = lin(f"{prefix}.to_beta", te)[:, None]
+        return F.normalize(v, dim=-1) * scale * g + bta
+
+    from test_reference_parity import _torch_attention
+
+    for i in range(DEPTH):
+        lp = f"transformer.layers.{i}"
+        a_in = ada_norm(xx, f"{lp}.2")
+        attn = _torch_attention(
+            a_in, sd[f"{lp}.3.to_qkv.weight"].T, sd[f"{lp}.3.to_out.weight"].T,
+            HEADS, DIM_HEAD, None, rotary,
+            (sd[f"{lp}.3.q_norm.gamma"], sd[f"{lp}.3.k_norm.gamma"]), 10.0,
+        )
+        xx = attn + xx
+        y = lin(f"{lp}.5.0", ada_norm(xx, f"{lp}.4"))
+        v, gate = y.chunk(2, dim=-1)
+        xx = lin(f"{lp}.5.3", F.gelu(gate, approximate="tanh") * v) + xx
+
+    xx = xx[:, N_REG:]
+    xx = F.normalize(xx, dim=-1) * scale * sd["transformer.final_norm.gamma"]
+    return xx @ sd["to_pred.weight"].T
+
+
+def _flax_model():
+    return VoiceBox(
+        num_cond_tokens=N_COND_TOKENS, dim_in=DIM_IN, dim_cond_emb=DIM_COND,
+        dim=DIM, depth=DEPTH, dim_head=DIM_HEAD, heads=HEADS,
+        num_register_tokens=N_REG, attn_qk_norm=True, condition_on_text=True,
+    )
+
+
+def _template(vb):
+    b, n = 2, 32
+    return vb.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((b, n, DIM_IN)), times=jnp.zeros((b,)),
+        cond=jnp.zeros((b, n, DIM_IN)),
+        cond_token_ids=jnp.zeros((b, n), jnp.int32), cond_drop_prob=0.0,
+    )["params"]
+
+
+class TestVoiceboxPort:
+    def test_full_forward_parity(self):
+        sd = _reference_state_dict()
+        vb = _flax_model()
+        params = load_voicebox_torch(sd, _template(vb))
+
+        b, n = 2, 32
+        rs = np.random.RandomState(7)
+        x = rs.randn(b, n, DIM_IN).astype(np.float32)
+        cond = rs.randn(b, n, DIM_IN).astype(np.float32)
+        times = rs.rand(b).astype(np.float32)
+        ids = rs.randint(0, N_COND_TOKENS, (b, n)).astype(np.int32)
+        # mixed mask exercises both the zeroed and the kept cond columns
+        mask = (rs.rand(b, n) < 0.5)
+
+        ours = vb.apply(
+            {"params": params}, jnp.asarray(x), times=jnp.asarray(times),
+            cond=jnp.asarray(cond), cond_token_ids=jnp.asarray(ids),
+            cond_mask=jnp.asarray(mask), cond_drop_prob=0.0, train=False,
+        )
+        ref = _torch_forward(
+            sd, torch.from_numpy(x), torch.from_numpy(times),
+            torch.from_numpy(cond), torch.from_numpy(ids.astype(np.int64)),
+            torch.from_numpy(mask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy(), atol=2e-4, rtol=1e-3
+        )
+
+    def test_wrapper_prefix_and_codec_skip(self):
+        """A trainer-checkpoint state dict ('voicebox.' prefix + frozen codec
+        keys) ports identically; codec keys are ignored."""
+        sd = _reference_state_dict()
+        wrapped = {f"voicebox.{k}": v for k, v in sd.items()}
+        wrapped["voicebox.audio_enc_dec.encoder.some.weight"] = torch.zeros(3)
+
+        vb = _flax_model()
+        tpl = _template(vb)
+        a = load_voicebox_torch(sd, tpl)
+        b_ = load_voicebox_torch(wrapped, _template(vb))
+        for pa, pb in zip(jax.tree.leaves(a), jax.tree.leaves(b_)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_shape_mismatch_raises(self):
+        sd = _reference_state_dict()
+        sd["to_pred.weight"] = torch.zeros(DIM_IN, DIM + 1)
+        vb = _flax_model()
+        with pytest.raises(AssertionError):
+            load_voicebox_torch(sd, _template(vb))
+
+    def test_wrapper_load_torch(self, tmp_path):
+        """End-to-end: the reference trainer's torch.save layout round-trips
+        through ConditionalFlowMatcherWrapper.load_torch."""
+        sd = _reference_state_dict()
+        pkg = {
+            "model": {f"voicebox.{k}": v for k, v in sd.items()},
+            "optim": {},
+            "scheduler": {},
+        }
+        path = tmp_path / "voicebox.42.pt"
+        torch.save(pkg, path)
+
+        vb = _flax_model()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=32, batch=2)
+        before = cfm.params["to_embed"]["kernel"]
+        cfm.load_torch(str(path))
+        after = cfm.params["to_embed"]["kernel"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        np.testing.assert_allclose(
+            np.asarray(after),
+            sd["to_embed.weight"].numpy().T,
+            atol=1e-7,
+        )
+        # the ported model must actually run
+        out = cfm.sample(
+            cond=jnp.zeros((1, 32, DIM_IN)),
+            semantic_token_ids=jnp.zeros((1, 32), jnp.int32),
+            steps=2, rng=jax.random.PRNGKey(1),
+        )
+        assert bool(jnp.all(jnp.isfinite(out)))

@@ -140,6 +140,23 @@ class ConditionalFlowMatcherWrapper:
             self.params = jax.tree.map(jnp.asarray, model_state)
         return pkg
 
+    def load_torch(self, path):
+        """Migration path from the reference build: port a reference trainer
+        checkpoint (`torch.save({'model': wrapper_state_dict, ...})`,
+        /root/reference/voicebox_pytorch/trainer.py:191-197,306-310) into
+        this wrapper's VoiceBox params. Frozen `audio_enc_dec.*` codec
+        weights inside the checkpoint are skipped — port those with the
+        codec loaders in `utils/port_weights`. Call `init_params()` first
+        (the ported tree is validated shape-by-shape against it)."""
+        from ..utils.port_weights import load_voicebox_torch
+
+        assert self.params is not None, (
+            "call init_params() first — it provides the shape template the "
+            "ported checkpoint is validated against"
+        )
+        self.params = load_voicebox_torch(path, self.params)
+        return self.params
+
     # ------------------------------------------------------------------
     # training loss (pure)
     # ------------------------------------------------------------------

@@ -20,7 +20,11 @@ import torch.nn.functional as F
 
 from voicebox_tpu import VoiceBox
 from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
-from voicebox_tpu.utils.port_weights import load_voicebox_torch
+from voicebox_tpu.models.duration import DurationPredictor
+from voicebox_tpu.utils.port_weights import (
+    load_duration_predictor_torch,
+    load_voicebox_torch,
+)
 
 DIM, DIM_IN, DIM_COND = 64, 24, 32
 DEPTH, HEADS, DIM_HEAD, N_REG = 2, 2, 16, 2
@@ -207,6 +211,105 @@ class TestVoiceboxPort:
         vb = _flax_model()
         with pytest.raises(AssertionError):
             load_voicebox_torch(sd, _template(vb))
+
+    def test_duration_predictor_port_forward_parity(self):
+        """Reference DurationPredictor layout (voicebox_pytorch.py:596-693,
+        plain-RMSNorm transformer, Sequential to_pred) ports and reproduces
+        the reference eval forward (:776-833) — aligner weights (training
+        targets only) are skipped by design."""
+        dim, dim_ph, depth, h, d = 48, 32, 2, 2, 16
+        n_vocab, ff_inner = 40, int(48 * 4 * 2 / 3)
+        rs = np.random.RandomState(3)
+
+        def t(*shape, scale=0.2):
+            return torch.from_numpy(rs.randn(*shape).astype(np.float32) * scale)
+
+        sd = {
+            "to_phoneme_emb.weight": t(n_vocab, dim_ph),
+            "to_embed.weight": t(dim, dim + dim_ph),
+            "to_embed.bias": t(dim),
+            "conv_embed.dw_conv1d.0.weight": t(dim, 1, 31),
+            "conv_embed.dw_conv1d.0.bias": t(dim),
+            "to_pred.0.weight": t(1, dim),
+            "to_pred.0.bias": t(1),
+            "transformer.final_norm.gamma": 1.0 + t(dim, scale=0.05),
+            "aligner.key_proj.weight": t(3, 3),  # must be ignored
+        }
+        for i in range(depth):
+            lp = f"transformer.layers.{i}"
+            sd.update({
+                f"{lp}.2.gamma": 1.0 + t(dim, scale=0.05),
+                f"{lp}.3.to_qkv.weight": t(3 * h * d, dim),
+                f"{lp}.3.to_out.weight": t(dim, h * d),
+                f"{lp}.3.q_norm.gamma": 1.0 + t(h, 1, d, scale=0.05),
+                f"{lp}.3.k_norm.gamma": 1.0 + t(h, 1, d, scale=0.05),
+                f"{lp}.4.gamma": 1.0 + t(dim, scale=0.05),
+                f"{lp}.5.0.weight": t(2 * ff_inner, dim),
+                f"{lp}.5.0.bias": t(2 * ff_inner),
+                f"{lp}.5.3.weight": t(dim, ff_inner),
+                f"{lp}.5.3.bias": t(dim),
+            })
+
+        dp = DurationPredictor(
+            num_phoneme_tokens=n_vocab, dim_phoneme_emb=dim_ph, dim=dim,
+            depth=depth, dim_head=d, heads=h, attn_qk_norm=True,
+        )
+        dp.init_params(jax.random.PRNGKey(0), seq_len=20, n_phonemes=8, batch=2)
+        dp.params = load_duration_predictor_torch(sd, dp.params)
+
+        b, seq, n_ph = 2, 20, 8
+        cond = rs.randn(b, seq, dim).astype(np.float32)
+        ids = rs.randint(0, n_vocab, (b, n_ph)).astype(np.int32)
+        cond_mask = (rs.rand(b, seq) < 0.5)
+
+        ours = dp(
+            cond=jnp.asarray(cond), phoneme_ids=jnp.asarray(ids),
+            cond_mask=jnp.asarray(cond_mask),
+        )
+
+        # torch restatement of the eval forward
+        tc = torch.from_numpy(cond) * (~torch.from_numpy(cond_mask))[..., None]
+        tc = tc[:, :n_ph]  # curtail_or_pad to phoneme length (:819)
+        ph = sd["to_phoneme_emb.weight"][torch.from_numpy(ids.astype(np.int64))]
+        xx = torch.cat([ph, tc], -1) @ sd["to_embed.weight"].T + sd["to_embed.bias"]
+        c = F.conv1d(xx.transpose(1, 2), sd["conv_embed.dw_conv1d.0.weight"],
+                     sd["conv_embed.dw_conv1d.0.bias"], padding=15, groups=dim)
+        xx = F.gelu(c, approximate="tanh").transpose(1, 2) + xx
+        inv = 1.0 / (50000.0 ** (torch.arange(0, d, 2).float() / d))
+        freqs = torch.arange(n_ph, dtype=torch.float32)[:, None] * inv[None]
+        rotary = torch.cat([freqs, freqs], dim=-1)
+        from test_reference_parity import _torch_attention
+
+        scale = dim ** 0.5
+        for i in range(depth):
+            lp = f"transformer.layers.{i}"
+            a_in = F.normalize(xx, dim=-1) * scale * sd[f"{lp}.2.gamma"]
+            xx = _torch_attention(
+                a_in, sd[f"{lp}.3.to_qkv.weight"].T, sd[f"{lp}.3.to_out.weight"].T,
+                h, d, None, rotary,
+                (sd[f"{lp}.3.q_norm.gamma"], sd[f"{lp}.3.k_norm.gamma"]), 10.0,
+            ) + xx
+            y = (F.normalize(xx, dim=-1) * scale * sd[f"{lp}.4.gamma"]) \
+                @ sd[f"{lp}.5.0.weight"].T + sd[f"{lp}.5.0.bias"]
+            v, gate = y.chunk(2, dim=-1)
+            xx = (F.gelu(gate, approximate="tanh") * v) \
+                @ sd[f"{lp}.5.3.weight"].T + sd[f"{lp}.5.3.bias"] + xx
+        xx = F.normalize(xx, dim=-1) * scale * sd["transformer.final_norm.gamma"]
+        ref = (xx @ sd["to_pred.0.weight"].T + sd["to_pred.0.bias"])[..., 0]
+
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_duration_incomplete_dict_fails_loudly(self):
+        # incomplete dicts must fail loudly, not silently half-port
+        sd_min = {
+            "duration_predictor.to_phoneme_emb.weight": torch.zeros(40, 32) + 0.5,
+        }
+        dp = DurationPredictor(num_phoneme_tokens=40, dim_phoneme_emb=32,
+                               dim=48, depth=2, dim_head=16, heads=2)
+        dp.init_params(jax.random.PRNGKey(0), seq_len=16, n_phonemes=8, batch=1)
+        with pytest.raises(KeyError):
+            load_duration_predictor_torch(sd_min, dp.params)
 
     def test_wrapper_load_torch(self, tmp_path):
         """End-to-end: the reference trainer's torch.save layout round-trips

@@ -334,6 +334,20 @@ class DurationPredictor:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def load_torch(self, path):
+        """Port a reference DurationPredictor checkpoint (raw state dict or a
+        trainer checkpoint with the `duration_predictor.` prefix) into this
+        facade's params — inference-complete; the training-only aligner
+        retrains from init (`utils/port_weights.py::
+        load_duration_predictor_torch` documents why)."""
+        from ..utils.port_weights import load_duration_predictor_torch
+
+        assert self.params is not None, (
+            "call init_params() first — it provides the shape template"
+        )
+        self.params = load_duration_predictor_torch(path, self.params)
+        return self.params
+
     def loss_fn(self, params, rng, *, cond, phoneme_ids, mel, phoneme_len, mel_len,
                 phoneme_mask, mel_mask, cond_drop_prob: float = 0.0, **kwargs):
         """Pure training loss — jit/grad-able."""

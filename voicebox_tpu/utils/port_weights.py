@@ -35,6 +35,7 @@ __all__ = [
     "load_hubert_torch",
     "load_transformer_torch",
     "load_voicebox_torch",
+    "load_duration_predictor_torch",
 ]
 
 
@@ -451,6 +452,65 @@ def load_voicebox_torch(sd_or_path, template_params):
     )
     put(p["conv_embed"]["dw_conv1d"], "bias", sd["conv_embed.dw_conv1d.0.bias"])
     put(p["to_pred"], "kernel", torch_linear_to_dense(sd["to_pred.weight"]))
+
+    load_transformer_torch(sd, p["transformer"], prefix="transformer.")
+    return p
+
+
+def load_duration_predictor_torch(sd_or_path, template_params):
+    """Port a reference `DurationPredictor` state dict — raw, or inside a
+    trainer checkpoint's wrapper state dict under the `duration_predictor.`
+    prefix — into our flax tree (module layout voicebox_pytorch.py:596-693:
+    `to_phoneme_emb`, `to_embed`, `conv_embed.dw_conv1d.0`, plain-RMSNorm
+    `transformer.*`, `to_pred.0`, optional `proj_in`).
+
+    Skipped by design: `null_cond` (frozen zeros), `rotary_emb.inv_freq`,
+    and the `aligner.*` / `align_loss` weights — the aligner only produces
+    TRAINING targets (MAS durations + forward-sum loss,
+    voicebox_pytorch.py:841-876); inference-time duration prediction never
+    touches it, and our `models/duration.py::Aligner` is a contract
+    re-implementation whose parameter names differ from the NS2 package's.
+    A ported checkpoint is inference-complete; to continue TRAINING, the
+    aligner retrains from init (it is a small conv net learned jointly)."""
+    import jax.numpy as jnp
+
+    if isinstance(sd_or_path, str):
+        sd = load_torch_state_dict(sd_or_path)
+    else:
+        sd = {
+            k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in sd_or_path.items()
+        }
+    if any(k.startswith("duration_predictor.") for k in sd):
+        sd = {
+            k[len("duration_predictor."):]: v
+            for k, v in sd.items()
+            if k.startswith("duration_predictor.")
+        }
+    sd = {k: v for k, v in sd.items() if not k.startswith("audio_enc_dec.")}
+
+    p = _as_mutable(template_params)
+
+    def put(dst, key, value):
+        assert tuple(dst[key].shape) == tuple(value.shape), (
+            f"{key}: flax {tuple(dst[key].shape)} vs torch {tuple(value.shape)}"
+        )
+        dst[key] = jnp.asarray(value, dtype=dst[key].dtype)
+
+    if "proj_in.weight" in sd:
+        put(p["proj_in"], "kernel", torch_linear_to_dense(sd["proj_in.weight"]))
+        put(p["proj_in"], "bias", sd["proj_in.bias"])
+    put(p["to_phoneme_emb"], "embedding", sd["to_phoneme_emb.weight"])
+    put(p["to_embed"], "kernel", torch_linear_to_dense(sd["to_embed.weight"]))
+    put(p["to_embed"], "bias", sd["to_embed.bias"])
+    put(
+        p["conv_embed"]["dw_conv1d"],
+        "kernel",
+        np.ascontiguousarray(np.transpose(sd["conv_embed.dw_conv1d.0.weight"], (2, 1, 0))),
+    )
+    put(p["conv_embed"]["dw_conv1d"], "bias", sd["conv_embed.dw_conv1d.0.bias"])
+    put(p["to_pred"], "kernel", torch_linear_to_dense(sd["to_pred.0.weight"]))
+    put(p["to_pred"], "bias", sd["to_pred.0.bias"])
 
     load_transformer_torch(sd, p["transformer"], prefix="transformer.")
     return p

@@ -23,7 +23,10 @@ forward's FLOPs). Everything else (norms — f32 by design, rotary, attention
 score math, time MLP, embeddings, `to_pred`, the AdaptiveRMSNorm conditioning
 projections whose zero-init columns have no absmax to scale by) stays in the
 model's compute dtype: those are the numerics-sensitive and/or FLOP-light
-pieces.
+pieces. The third lever, `cast_float_params` (sample(param_store_dtype=...)),
+is a pure storage-dtype cast that DOES reach those excluded pieces — bf16
+storage is numerically free for a bf16-compute model and halves the HBM read
+of the f32-computed adaptive-norm projections; it composes with both modes.
 
 Wiring is non-invasive: `int8_dense_interceptor` (a `flax.linen
 .intercept_methods` interceptor) swaps the matmul inside stock `nn.Dense`

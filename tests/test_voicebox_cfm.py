@@ -459,3 +459,100 @@ class TestDurationSeconds:
         ids = jnp.zeros((1, 16), dtype=jnp.int32)
         with pytest.raises(AssertionError, match="duration_seconds conflicts"):
             cfm.sample(semantic_token_ids=ids, duration_seconds=1.0, steps=2)
+
+
+class TestSampleLong:
+    """Unbounded-length synthesis by windowed infilling (sample_long) —
+    beyond-parity: the reference generates one fixed horizon."""
+
+    def _cfm(self):
+        cfm = ConditionalFlowMatcherWrapper(_cond(dim=32, num_cond_tokens=50))
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=64, batch=2)
+        return cfm
+
+    def test_shapes_and_single_program(self, rng):
+        cfm = self._cfm()
+        ids = jax.random.randint(rng, (2, 200), 0, 50)
+        out = cfm.sample_long(
+            semantic_token_ids=ids, window_frames=64, overlap_frames=16,
+            steps=2, rng=jax.random.PRNGKey(1), decode_to_audio=False,
+        )
+        assert out.shape == (2, 200, 32)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        # every window ran on the SAME compiled sampler configuration
+        assert len(cfm._sampler_cache) == 1
+
+    def test_window_conditioning_contract(self, rng):
+        """Window k+1's cond prefix must be window k's committed tail, the
+        cond_mask must protect exactly that prefix, and the final stream must
+        keep the committed frames (not window k+1's regenerated overlap)."""
+        cfm = self._cfm()
+        calls = []
+        orig = cfm.sample
+
+        def spy(**kw):
+            out = orig(**kw)
+            calls.append({
+                "cond": np.asarray(kw["cond"]),
+                "mask": np.asarray(kw["cond_mask"]),
+                "out": np.asarray(out, dtype=np.float32),
+            })
+            return out
+
+        cfm.sample = spy
+        W, O = 64, 16
+        hop = W - O
+        ids = jax.random.randint(rng, (1, 160), 0, 50)
+        out = np.asarray(cfm.sample_long(
+            semantic_token_ids=ids, window_frames=W, overlap_frames=O,
+            steps=2, rng=jax.random.PRNGKey(2), decode_to_audio=False,
+        ), dtype=np.float32)
+        n_windows = len(calls)
+        assert n_windows == 1 + -(-(160 - W) // hop)
+        for k in range(1, n_windows):
+            # mask: False (keep) on the overlap, True (generate) beyond
+            assert not calls[k]["mask"][:, :O].any()
+            assert calls[k]["mask"][:, O:].all()
+            # cond prefix == the previous window's tail as COMMITTED
+            start = k * hop
+            np.testing.assert_allclose(
+                calls[k]["cond"][:, :O],
+                calls[k - 1]["out"][:, hop:hop + O],
+                rtol=1e-5, atol=1e-5,
+            )
+            # the final stream keeps the committed frames on the overlap
+            if start + O <= out.shape[1]:
+                np.testing.assert_allclose(
+                    out[:, start:start + O],
+                    calls[k - 1]["out"][:, hop:hop + O],
+                    rtol=1e-5, atol=1e-5,
+                )
+
+    def test_prompt_is_kept_verbatim(self, rng):
+        cfm = self._cfm()
+        prompt = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), (1, 10, 32)), np.float32
+        )
+        ids = jax.random.randint(rng, (1, 100), 0, 50)
+        out = np.asarray(cfm.sample_long(
+            semantic_token_ids=ids, window_frames=64, overlap_frames=16,
+            prompt=jnp.asarray(prompt), steps=2, rng=jax.random.PRNGKey(4),
+            decode_to_audio=False,
+        ), dtype=np.float32)
+        np.testing.assert_allclose(out[:, :10], prompt, rtol=1e-5, atol=1e-5)
+
+    def test_ragged_total_trims_tail(self, rng):
+        cfm = self._cfm()
+        ids = jax.random.randint(rng, (1, 150), 0, 50)  # not window-aligned
+        out = cfm.sample_long(
+            semantic_token_ids=ids, window_frames=64, overlap_frames=16,
+            steps=2, rng=jax.random.PRNGKey(5), decode_to_audio=False,
+        )
+        assert out.shape == (1, 150, 32)
+
+    def test_too_short_raises(self, rng):
+        cfm = self._cfm()
+        ids = jax.random.randint(rng, (1, 32), 0, 50)
+        with pytest.raises(AssertionError):
+            cfm.sample_long(semantic_token_ids=ids, window_frames=64,
+                            overlap_frames=16, steps=2)

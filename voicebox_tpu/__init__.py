@@ -64,4 +64,8 @@ def __getattr__(name):
         from .training.data import PrefetchLoader
 
         return PrefetchLoader
+    if name == "lora":
+        from .ops import lora
+
+        return lora
     raise AttributeError(f"module 'voicebox_tpu' has no attribute {name!r}")

@@ -172,3 +172,45 @@ class HubertWithKmeans:
         if wav.ndim == 3 and wav.shape[1] == 1:
             wav = wav[:, 0]
         return self._forward(self.params, wav)
+
+    def features(self, wav: jax.Array) -> jax.Array:
+        """Pre-quantization encoder features (b, frames, dim) — the vectors
+        the k-means vocabulary is built over."""
+        wav = jnp.asarray(wav)
+        if wav.ndim == 3 and wav.shape[1] == 1:
+            wav = wav[:, 0]
+        p = self.params
+
+        @jax.jit
+        def run(params, wav):
+            feats = self.feature_extractor.apply(
+                {"params": params["feature_extractor"]}, wav
+            )
+            feats = feats @ params["proj"]["kernel"] + params["proj"]["bias"]
+            return self.encoder.apply({"params": params["encoder"]}, feats)
+
+        return run(p, wav)
+
+    def fit_kmeans(self, wavs=None, *, features=None, rng=None, iters: int = 50):
+        """Build the semantic-token vocabulary from a corpus IN-FRAMEWORK
+        (the reference requires a pretrained sklearn k-means checkpoint).
+        Pass `wavs` (b, n) at target_sample_hz, or a precomputed `features`
+        (n_frames, dim) matrix. Sets params['kmeans'] and returns
+        (centroids, inertia). `utils/kmeans.py::fit_kmeans` is the
+        device-side fitter (kmeans++ + Lloyd's, scatter-free)."""
+        from ..utils.kmeans import fit_kmeans
+
+        assert (wavs is None) != (features is None), (
+            "pass exactly one of wavs / features"
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dim = self.params["kmeans"].shape[-1]
+        if features is None:
+            features = self.features(jnp.asarray(wavs)).reshape(-1, dim)
+        else:
+            features = jnp.asarray(features)
+            assert features.ndim == 2 and features.shape[-1] == dim
+        centroids, inertia = fit_kmeans(rng, features, self.num_clusters,
+                                        iters=iters)
+        self.params["kmeans"] = centroids
+        return centroids, inertia

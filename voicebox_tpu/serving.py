@@ -60,7 +60,15 @@ class TTSEngine:
         # model, halves the f32 weight HBM read (ops/quant.py::
         # cast_float_params) — measured 1.10x per-request at dim 1024
         param_store_dtype: Optional[jnp.dtype] = None,
+        # persist compiled bucket programs across process restarts: warmup
+        # after the first deploy skips XLA compilation entirely
+        # (utils/compilation_cache.py)
+        compilation_cache_dir: Optional[str] = None,
     ):
+        if compilation_cache_dir is not None:
+            from .utils.compilation_cache import enable_compilation_cache
+
+            enable_compilation_cache(compilation_cache_dir)
         assert cfm_wrapper.params is not None, "wrapper must be initialised"
         assert (
             cfm_wrapper.text_to_semantic is not None

@@ -556,3 +556,61 @@ class TestSampleLong:
         with pytest.raises(AssertionError):
             cfm.sample_long(semantic_token_ids=ids, window_frames=64,
                             overlap_frames=16, steps=2)
+
+
+class TestSampleLongStream:
+    """Streaming unbounded synthesis (sample_long_stream): yields chunks as
+    windows complete — latent-identical to sample_long, seam-free chunked
+    vocoding via left-context + right-guard decode windows."""
+
+    def _cfm(self):
+        cfm = ConditionalFlowMatcherWrapper(_cond(dim=32, num_cond_tokens=50))
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=64, batch=2)
+        return cfm
+
+    def test_latent_chunks_match_sample_long(self, rng):
+        cfm = self._cfm()
+        ids = jax.random.randint(rng, (2, 200), 0, 50)
+        kw = dict(semantic_token_ids=ids, window_frames=64,
+                  overlap_frames=16, steps=2, decode_to_audio=False)
+        full = np.asarray(cfm.sample_long(rng=jax.random.PRNGKey(7), **kw))
+        chunks = [np.asarray(c) for c in
+                  cfm.sample_long_stream(rng=jax.random.PRNGKey(7), **kw)]
+        # first chunk is a whole window, then one hop each, tail trimmed
+        assert chunks[0].shape[1] == 64
+        assert all(c.shape[1] == 48 for c in chunks[1:-1])
+        np.testing.assert_array_equal(np.concatenate(chunks, axis=1), full)
+
+    def test_audio_stream_matches_full_decode(self, rng):
+        """Chunked decode with the default ctx guard must reproduce the
+        one-shot full decode (the Vocos conv/iSTFT receptive field is far
+        smaller than the guard)."""
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.vocos import Vocos
+
+        vb = _cond(dim=32, num_cond_tokens=50)
+        vb.audio_enc_dec = MelVoco(
+            n_mels=32, n_fft=64, win_length=64,
+            vocos=Vocos(input_channels=32, dim=32, intermediate_dim=64,
+                        num_layers=1, n_fft=64, hop_length=16))
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=64, batch=1)
+
+        ids = jax.random.randint(rng, (1, 160), 0, 50)
+        kw = dict(semantic_token_ids=ids, window_frames=64,
+                  overlap_frames=16, steps=2)
+        full = np.asarray(cfm.sample_long(rng=jax.random.PRNGKey(8), **kw))
+        stream = [np.asarray(c) for c in
+                  cfm.sample_long_stream(rng=jax.random.PRNGKey(8), **kw)]
+        cat = np.concatenate(stream, axis=-1)
+        assert cat.shape == full.shape  # 160 frames x hop 16 samples
+        np.testing.assert_allclose(cat, full, rtol=1e-4, atol=1e-4)
+
+    def test_no_codec_falls_back_to_latents(self, rng):
+        cfm = self._cfm()
+        ids = jax.random.randint(rng, (1, 100), 0, 50)
+        chunks = list(cfm.sample_long_stream(
+            semantic_token_ids=ids, window_frames=64, overlap_frames=16,
+            steps=2, rng=jax.random.PRNGKey(9)))  # decode requested, no codec
+        assert sum(c.shape[1] for c in chunks) == 100
+        assert chunks[0].shape[-1] == 32

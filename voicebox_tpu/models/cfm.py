@@ -710,7 +710,125 @@ class ConditionalFlowMatcherWrapper:
         ONE compiled program — O(window) memory and per-window latency for
         arbitrarily long audio. An optional `prompt` (voice sample) conditions
         the first window the same way. Composes with the serving levers
-        (`quantize`, `param_store_dtype`)."""
+        (`quantize`, `param_store_dtype`).
+
+        For incremental consumption (play audio while later windows are still
+        sampling) use `sample_long_stream` — this method delegates to the
+        same window loop, so the two are latent-identical for the same rng."""
+        import numpy as np
+
+        chunks = list(self._sample_long_chunks(
+            semantic_token_ids=semantic_token_ids, total_frames=total_frames,
+            window_frames=window_frames, overlap_frames=overlap_frames,
+            prompt=prompt, steps=steps, cond_scale=cond_scale,
+            quantize=quantize, param_store_dtype=param_store_dtype,
+            rng=rng, params=params,
+        ))
+        out = jnp.asarray(np.concatenate(chunks, axis=1))
+        codec = self.voicebox.audio_enc_dec
+        if decode_to_audio and codec is not None:
+            return codec.decode(out)
+        return out
+
+    def sample_long_stream(
+        self,
+        *,
+        semantic_token_ids,  # (b, n_ids) conditioning ids for the WHOLE output
+        total_frames: Optional[int] = None,  # default: one latent frame per id
+        window_frames: int = 768,
+        overlap_frames: int = 128,
+        prompt=None,  # (b, p, d) latents or (b, p_samples) raw audio voice prompt
+        steps: int = 3,
+        cond_scale: float = 1.0,
+        decode_to_audio: bool = True,
+        decode_ctx_frames: Optional[int] = None,
+        quantize: Optional[str] = None,
+        param_store_dtype: Optional[jnp.dtype] = None,
+        rng: Optional[jax.Array] = None,
+        params=None,
+    ):
+        """Streaming unbounded-length synthesis: a generator yielding audio
+        (or latent) chunks as each infilling window completes, so playback can
+        start after ONE window's sampling latency instead of the whole
+        utterance's (beyond-parity: the reference only returns a complete
+        fixed horizon, voicebox_pytorch.py:1289).
+
+        With `decode_to_audio=False` the yielded latent chunks concatenate to
+        exactly `sample_long(decode_to_audio=False)` for the same rng (both
+        run the identical window loop). With decoding on, each chunk is
+        vocoded together with `decode_ctx_frames` (default: `overlap_frames`)
+        of already-emitted latent left-context and a same-sized right guard of
+        not-yet-emitted frames, then trimmed to the new samples — so every
+        emitted sample sees a full receptive field of latent context on both
+        sides. Seam-free for the time-local conv/iSTFT decoders
+        (MelVoco/Vocos, receptive field << the default guard): bit-exact vs
+        the one-shot decode on f32 backends; on TPU the default-precision
+        matmuls can tile differently per chunk shape (measured ~5e-3 abs on
+        O(1) audio for SHORT decodes generally — the same rounding any shape
+        change induces, not a seam artifact). EncodecVoco's LSTM decoder
+        carries unbounded left state, so its chunk seams are approximate —
+        use non-streaming `sample_long` for bit-exact Encodec decodes.
+        Steady-state chunks have one static shape, so streaming reuses one
+        compiled decode program after the first chunk."""
+        chunks = self._sample_long_chunks(
+            semantic_token_ids=semantic_token_ids, total_frames=total_frames,
+            window_frames=window_frames, overlap_frames=overlap_frames,
+            prompt=prompt, steps=steps, cond_scale=cond_scale,
+            quantize=quantize, param_store_dtype=param_store_dtype,
+            rng=rng, params=params,
+        )
+        codec = self.voicebox.audio_enc_dec
+        if not decode_to_audio or codec is None:
+            for chunk in chunks:
+                yield jnp.asarray(chunk)
+            return
+
+        import numpy as np
+
+        ctx = overlap_frames if decode_ctx_frames is None else decode_ctx_frames
+        assert ctx >= 0
+        spf = codec.downsample_factor  # samples per latent frame
+        buf = None  # latent frames [next_emit - left, received)
+        left = 0    # already-emitted context frames at buf's head
+
+        def drain(final: bool):
+            # decode the buffer, emit only the samples of frames
+            # [left, n - ctx) (all remaining frames when final), then trim the
+            # buffer to the ctx frames of left context the next drain needs
+            nonlocal buf, left
+            n = buf.shape[1]
+            emit_hi = n if final else n - ctx
+            if emit_hi <= left:
+                return None
+            audio = np.asarray(codec.decode(jnp.asarray(buf)), np.float32)
+            out = audio[..., left * spf:emit_hi * spf]
+            keep_from = max(emit_hi - ctx, 0)
+            left = emit_hi - keep_from
+            buf = buf[:, keep_from:]
+            return out
+
+        for chunk in chunks:
+            buf = chunk if buf is None else np.concatenate([buf, chunk], axis=1)
+            out = drain(final=False)
+            if out is not None:
+                yield jnp.asarray(out)
+        out = drain(final=True)
+        if out is not None:
+            yield jnp.asarray(out)
+
+    def _sample_long_chunks(
+        self, *, semantic_token_ids, total_frames, window_frames,
+        overlap_frames, prompt, steps, cond_scale, quantize,
+        param_store_dtype, rng, params,
+    ):
+        """Core window loop of sample_long / sample_long_stream: generate by
+        windowed infilling and yield each window's newly-FINALIZED latent
+        frames as a float32 numpy chunk (window_frames for the first window,
+        then hop = window - overlap each; the concatenation of all chunks is
+        the full (b, total_frames, d) latent stream). Frames are final the
+        moment their window is sampled — the next window keeps its overlap
+        prefix verbatim — so chunks can be decoded/played while later windows
+        are still being generated."""
         assert 0 < overlap_frames < window_frames
         ids = jnp.asarray(semantic_token_ids)
         b, n_ids = ids.shape
@@ -758,6 +876,7 @@ class ConditionalFlowMatcherWrapper:
         prompt_np = None if prompt is None else np.asarray(prompt, np.float32)
         latents = np.zeros((b, padded_total, dim), dtype=np.float32)
         arange_w = np.arange(window_frames)
+        done = 0  # frames already yielded as finalized chunks
         for w in range(n_windows):
             start = w * hop
             ids_w = frame_ids[:, start:start + window_frames]
@@ -794,11 +913,12 @@ class ConditionalFlowMatcherWrapper:
             latents[:, start:start + window_frames] = np.where(
                 keep[None, :, None], committed, out_w
             )
-
-        out = jnp.asarray(latents[:, :total_frames])
-        if decode_to_audio and codec is not None:
-            return codec.decode(out)
-        return out
+            # everything through this window is now final: the next window
+            # keeps its overlap prefix verbatim (cond_mask=False there)
+            fin = min(start + window_frames, total_frames)
+            if fin > done:
+                yield latents[:, done:fin].copy()
+                done = fin
 
 
 def _resample_if_needed(audio, sr_in: Optional[int], sr_out: int):

@@ -443,3 +443,263 @@ class TestHubertRoundtrip:
         feats = fe.apply({"params": ported["feature_extractor"]}, jnp.asarray(wav))
         out_j = feats @ ported["proj"]["kernel"] + ported["proj"]["bias"]
         np.testing.assert_allclose(_np(out_j), out_t.numpy(), atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# HuBERT FULL model (VERDICT r2 missing-item 1): extractor + projection
+# (LayerNorm + Linear) + weight-normed pos conv + post-norm encoder blocks,
+# transformers Wav2Vec2/HubertModel state-dict layout
+# ---------------------------------------------------------------------------
+
+
+class _TW2VEncoderLayer(tnn.Module):
+    """transformers Wav2Vec2EncoderLayer (post-norm, base config)."""
+
+    def __init__(self, dim, heads, ff):
+        super().__init__()
+        self.heads = heads
+
+        class Attn(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.q_proj = tnn.Linear(dim, dim)
+                self.k_proj = tnn.Linear(dim, dim)
+                self.v_proj = tnn.Linear(dim, dim)
+                self.out_proj = tnn.Linear(dim, dim)
+
+        class FF(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.intermediate_dense = tnn.Linear(dim, ff)
+                self.output_dense = tnn.Linear(ff, dim)
+
+        self.attention = Attn()
+        self.layer_norm = tnn.LayerNorm(dim)
+        self.feed_forward = FF()
+        self.final_layer_norm = tnn.LayerNorm(dim)
+        for ln in (self.layer_norm, self.final_layer_norm):
+            tnn.init.normal_(ln.weight, mean=1.0, std=0.1)
+            tnn.init.normal_(ln.bias, std=0.1)
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h, hd = self.heads, d // self.heads
+        q = (self.attention.q_proj(x) * hd ** -0.5).view(b, n, h, hd).transpose(1, 2)
+        k = self.attention.k_proj(x).view(b, n, h, hd).transpose(1, 2)
+        v = self.attention.v_proj(x).view(b, n, h, hd).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-1, -2), dim=-1) @ v
+        x = x + self.attention.out_proj(attn.transpose(1, 2).reshape(b, n, d))
+        x = self.layer_norm(x)
+        x = x + self.feed_forward.output_dense(
+            F.gelu(self.feed_forward.intermediate_dense(x))
+        )
+        return self.final_layer_norm(x)
+
+
+class _TW2VFull(tnn.Module):
+    """Tiny transformers-layout HuBERT: feature_extractor + feature_projection
+    (layer_norm + projection) + encoder (pos_conv_embed weight-norm dim=2,
+    layer_norm, post-norm layers)."""
+
+    def __init__(self, c, dim, heads, ff, depth, kernels, strides,
+                 pos_kernel, pos_groups):
+        super().__init__()
+
+        class FE(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_layers = tnn.ModuleList(
+                    [
+                        _THubertConvLayer(1 if i == 0 else c, c, k, s,
+                                          group_norm=(i == 0))
+                        for i, (k, s) in enumerate(zip(kernels, strides))
+                    ]
+                )
+
+        class FP(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layer_norm = tnn.LayerNorm(c)
+                self.projection = tnn.Linear(c, dim)
+                tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+                tnn.init.normal_(self.layer_norm.bias, std=0.1)
+
+        class PosConv(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                conv = tnn.Conv1d(dim, dim, pos_kernel,
+                                  padding=pos_kernel // 2, groups=pos_groups)
+                self.conv = tnn.utils.weight_norm(conv, name="weight", dim=2)
+                self.k = pos_kernel
+
+            def forward(self, x):  # (b, n, d)
+                x = self.conv(x.transpose(1, 2))
+                if self.k % 2 == 0:
+                    x = x[:, :, :-1]
+                return F.gelu(x).transpose(1, 2)
+
+        class Enc(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_conv_embed = PosConv()
+                self.layer_norm = tnn.LayerNorm(dim)
+                self.layers = tnn.ModuleList(
+                    [_TW2VEncoderLayer(dim, heads, ff) for _ in range(depth)]
+                )
+                tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+
+            def forward(self, x):
+                x = x + self.pos_conv_embed(x)
+                x = self.layer_norm(x)
+                for layer in self.layers:
+                    x = layer(x)
+                return x
+
+        self.feature_extractor = FE()
+        self.feature_projection = FP()
+        self.encoder = Enc()
+
+    def forward(self, wav):
+        x = wav[:, None, :]
+        for i, layer in enumerate(self.feature_extractor.conv_layers):
+            x = layer.conv(x)
+            if i == 0:
+                x = layer.layer_norm(x)
+            x = F.gelu(x)
+        x = x.transpose(1, 2)
+        x = self.feature_projection.projection(self.feature_projection.layer_norm(x))
+        return self.encoder(x)
+
+
+class TestHubertFullRoundtrip:
+    C, DIM, HEADS, FF, DEPTH = 8, 16, 4, 40, 3
+    KERNELS = (10, 3, 3, 3, 3, 2, 2)
+    STRIDES = (5, 2, 2, 2, 2, 2, 2)
+    POS_KERNEL, POS_GROUPS = 16, 4
+
+    def _build(self, tmp_path, output_layer=None, rewrite_sd=None):
+        from voicebox_tpu.models.hubert import HubertWithKmeans
+
+        torch.manual_seed(11)
+        tm = _TW2VFull(self.C, self.DIM, self.HEADS, self.FF, self.DEPTH,
+                       self.KERNELS, self.STRIDES, self.POS_KERNEL,
+                       self.POS_GROUPS).eval()
+        sd = tm.state_dict()
+        if rewrite_sd is not None:
+            sd = rewrite_sd(sd)
+        path = str(tmp_path / "hubert_full.pt")
+        torch.save(sd, path)
+
+        w2v = HubertWithKmeans(
+            num_clusters=7, dim=self.DIM,
+            depth=self.DEPTH, heads=self.HEADS, ff_dim=self.FF,
+            conv_pos_kernel=self.POS_KERNEL, conv_pos_groups=self.POS_GROUPS,
+            output_layer=output_layer,
+        )
+        # conv_dim must match the tiny torch extractor width
+        from voicebox_tpu.models.hubert import HubertFeatureExtractor
+
+        w2v.feature_extractor = HubertFeatureExtractor(conv_dim=self.C)
+        # template proj/proj_norm shapes were built at conv_dim=512; rebuild
+        # tiny then re-port
+        import jax.numpy as _jnp
+
+        w2v.params["feature_extractor"] = w2v.feature_extractor.init(
+            jax.random.PRNGKey(0), _jnp.zeros((1, 1280))
+        )["params"]
+        w2v.params["proj_norm"] = {"scale": _jnp.ones((self.C,)),
+                                   "bias": _jnp.zeros((self.C,))}
+        w2v.params["proj"] = {"kernel": _jnp.zeros((self.C, self.DIM)),
+                              "bias": _jnp.zeros((self.DIM,))}
+        from voicebox_tpu.utils.port_weights import load_hubert_torch
+
+        w2v.params = load_hubert_torch(path, w2v.params)
+        return tm, w2v
+
+    def test_full_forward_parity(self, tmp_path):
+        tm, w2v = self._build(tmp_path)
+        rs = np.random.RandomState(7)
+        wav = (rs.randn(2, 3200) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(wav))
+        out_j = w2v.features(jnp.asarray(wav))
+        assert out_j.shape == tuple(out_t.shape)
+        np.testing.assert_allclose(_np(out_j), out_t.numpy(), atol=ATOL)
+
+    def test_output_layer_truncation(self, tmp_path):
+        """output_layer=k == fairseq extract_features(output_layer=k):
+        features come from AFTER block k, ignoring later blocks."""
+        tm, w2v = self._build(tmp_path, output_layer=2)
+        rs = np.random.RandomState(8)
+        wav = (rs.randn(1, 3200) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            x = tm.feature_projection.projection(
+                tm.feature_projection.layer_norm(
+                    self._extract(tm, torch.from_numpy(wav))
+                )
+            )
+            x = x + tm.encoder.pos_conv_embed(x)
+            x = tm.encoder.layer_norm(x)
+            for layer in tm.encoder.layers[:2]:
+                x = layer(x)
+        out_j = w2v.features(jnp.asarray(wav))
+        np.testing.assert_allclose(_np(out_j), x.numpy(), atol=ATOL)
+
+    @staticmethod
+    def _extract(tm, wav):
+        x = wav[:, None, :]
+        for i, layer in enumerate(tm.feature_extractor.conv_layers):
+            x = layer.conv(x)
+            if i == 0:
+                x = layer.layer_norm(x)
+            x = F.gelu(x)
+        return x.transpose(1, 2)
+
+    def test_fairseq_naming(self, tmp_path):
+        """The same tensors under fairseq HubertModel key names port too."""
+
+        def to_fairseq(sd):
+            out = {}
+            for k, v in sd.items():
+                k = k.replace("feature_projection.layer_norm", "layer_norm")
+                k = k.replace("feature_projection.projection",
+                              "post_extract_proj")
+                k = k.replace("encoder.pos_conv_embed.conv", "encoder.pos_conv.0")
+                k = k.replace(".attention.", ".self_attn.")
+                # post-attn LN: transformers `.layer_norm` (inside a layer) ->
+                # fairseq `.self_attn_layer_norm`
+                if ".layers." in k and k.rsplit(".", 2)[-2] == "layer_norm":
+                    k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
+                k = k.replace(".feed_forward.intermediate_dense", ".fc1")
+                k = k.replace(".feed_forward.output_dense", ".fc2")
+                # fairseq extractor: conv_layers.{i}.0 (conv) / .0.2 (group norm)
+                k = k.replace(".conv.weight_g", ".weight_g").replace(
+                    ".conv.weight_v", ".weight_v")
+                if "conv_layers" in k:
+                    k = k.replace(".conv.weight", ".0.weight")
+                    k = k.replace(".layer_norm.", ".2.")
+                out[k] = v
+            return out
+
+        tm, w2v = self._build(tmp_path, rewrite_sd=to_fairseq)
+        rs = np.random.RandomState(9)
+        wav = (rs.randn(1, 3200) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(wav))
+        np.testing.assert_allclose(_np(w2v.features(jnp.asarray(wav))),
+                                   out_t.numpy(), atol=ATOL)
+
+    def test_partial_checkpoint_refused(self, tmp_path):
+        """An encoder-less checkpoint must raise, not silently half-port."""
+        from voicebox_tpu.models.hubert import HubertWithKmeans
+        from voicebox_tpu.utils.port_weights import load_hubert_torch
+
+        torch.manual_seed(3)
+        tm = _THubert(self.C, self.DIM, self.KERNELS, self.STRIDES).eval()
+        path = str(tmp_path / "hubert_partial.pt")
+        torch.save(tm.state_dict(), path)
+
+        w2v = HubertWithKmeans(num_clusters=7, dim=self.DIM, depth=2,
+                               heads=self.HEADS)
+        with pytest.raises(AssertionError, match="refusing a partial port"):
+            load_hubert_torch(path, w2v.params)

@@ -6,15 +6,29 @@ __init__.py:15): `wav2vec(wav (b, n) @ 16 kHz) -> semantic ids (b, n/320)`,
 plus `.target_sample_hz` and `.downsample_factor` used for the conditioning
 length algebra at sampling time.
 
-Architecture follows the HuBERT-base recipe (arXiv 2106.07447): a 7-layer
-strided conv feature extractor (total stride 320 -> 50 Hz frames), layer-norm
-+ projection, a bidirectional transformer encoder, then k-means assignment of
-an intermediate layer's features against learned centroids. Runs frozen /
-inference-only, exactly as the reference uses it.
+The encoder is a FAITHFUL wav2vec2/HuBERT-base block layout (arXiv
+2106.07447), weight-compatible with upstream checkpoints (both `transformers`
+and fairseq state-dict namings — see `utils/port_weights.py::
+load_hubert_torch`):
 
-Weights: random init with the exact architecture (no network egress);
-`voicebox_tpu.utils.port_weights` helpers convert local torch checkpoints +
-k-means .bin centroids.
+* 7-layer strided conv feature extractor (no bias, exact GELU, group norm on
+  layer 0 only; total stride 320 -> 50 Hz frames)
+* feature projection: LayerNorm(512) -> Linear(512 -> 768)
+* weight-normed conv positional embedding (kernel 128, 16 groups, even-kernel
+  same-pad: pad k/2 both sides, drop the trailing frame), GELU, residual
+* pre-layers LayerNorm (the base model is post-norm, `layer_norm_first=False`)
+* N post-norm encoder blocks: biased q/k/v/out projections, softmax
+  attention, LayerNorm; Linear(768 -> 3072) exact-GELU Linear(3072 -> 768),
+  LayerNorm
+* `output_layer` truncation matching fairseq `extract_features(...,
+  output_layer=k)` — features are taken AFTER block k (1-indexed);
+  audiolm-pytorch's default for k-means is layer 9.
+
+Runs frozen / inference-only, exactly as the reference uses it. Weights:
+random init with the exact architecture (no network egress);
+`voicebox_tpu.utils.port_weights.load_hubert_torch` converts local torch
+checkpoints (full model: extractor + projection + every encoder block) and
+k-means .bin centroids load via `kmeans_path`.
 """
 
 from __future__ import annotations
@@ -25,9 +39,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .transformer import Transformer
-
-__all__ = ["HubertFeatureExtractor", "HubertEncoder", "HubertWithKmeans"]
+__all__ = [
+    "HubertFeatureExtractor",
+    "HubertEncoderLayer",
+    "HubertEncoder",
+    "HubertWithKmeans",
+]
 
 
 class HubertFeatureExtractor(nn.Module):
@@ -48,39 +65,112 @@ class HubertFeatureExtractor(nn.Module):
                 use_bias=False, dtype=self.dtype, name=f"conv_{i}",
             )(x)
             if i == 0:
-                x = nn.GroupNorm(num_groups=self.conv_dim, dtype=self.dtype,
+                x = nn.GroupNorm(num_groups=self.conv_dim, epsilon=1e-5, dtype=self.dtype,
                                  name="group_norm")(x)
             x = nn.gelu(x, approximate=False)  # exact GELU (torch default)
         return x
 
 
+class HubertEncoderLayer(nn.Module):
+    """One post-norm wav2vec2/HuBERT-base block.
+
+    Mirrors `transformers` Wav2Vec2EncoderLayer / fairseq
+    TransformerSentenceEncoderLayer (layer_norm_first=False): biased q/k/v/out
+    projections, residual + LayerNorm, then Linear->exact GELU->Linear FFN,
+    residual + LayerNorm. The reference consumes this frozen
+    (voicebox_pytorch.py:1384-1389)."""
+
+    dim: int = 768
+    heads: int = 12
+    ff_dim: int = 3072
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        h = self.heads
+        d = self.dim // h
+        res = x
+        # scaling applied to the PROJECTED q (incl. bias), matching torch MHA
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x) * (d ** -0.5)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(x)
+        b, n, _ = x.shape
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if mask is not None:
+            scores = jnp.where(
+                mask[:, None, None, :], scores,
+                jnp.finfo(scores.dtype).min,
+            )
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, self.dim)
+        x = res + nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_norm")(x)
+        ff = nn.Dense(self.ff_dim, dtype=self.dtype, name="fc1")(x)
+        ff = nn.gelu(ff, approximate=False)
+        x = x + nn.Dense(self.dim, dtype=self.dtype, name="fc2")(ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
+
+
 class HubertEncoder(nn.Module):
+    """wav2vec2-base encoder: weight-normed conv positional embedding +
+    pre-layers LayerNorm + `depth` post-norm blocks.
+
+    `depth` is the number of blocks RUN — to reproduce fairseq
+    `extract_features(output_layer=k)` semantics (audiolm-pytorch passes
+    k=9 for HuBERT k-means), construct with depth=k; features are the output
+    of block k (which, being post-norm, is already layer-normed)."""
+
     dim: int = 768
     depth: int = 12
     heads: int = 12
+    ff_dim: Optional[int] = None  # default 4*dim (3072 at base scale)
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        # convolutional relative positional embedding (wav2vec2-style)
+        # convolutional relative positional embedding (wav2vec2-style):
+        # pad k//2 both sides, VALID conv, drop the trailing frame when the
+        # kernel is even (torch Wav2Vec2SamePadLayer removes num_pad_remove=1)
+        pad = self.conv_pos_kernel // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
         pos = nn.Conv(
-            self.dim, kernel_size=(self.conv_pos_kernel,), padding="SAME",
+            self.dim, kernel_size=(self.conv_pos_kernel,), padding="VALID",
             feature_group_count=self.conv_pos_groups, dtype=self.dtype,
             name="pos_conv",
-        )(x)
+        )(xp)
+        if self.conv_pos_kernel % 2 == 0:
+            pos = pos[:, :-1]
         x = x + nn.gelu(pos, approximate=False)
-        x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(x)
 
-        return Transformer(
-            dim=self.dim, depth=self.depth, heads=self.heads,
-            dim_head=self.dim // self.heads, dtype=self.dtype, name="transformer",
-        )(x, mask=mask)
+        ff_dim = self.ff_dim if self.ff_dim is not None else 4 * self.dim
+        for i in range(self.depth):
+            x = HubertEncoderLayer(
+                dim=self.dim, heads=self.heads, ff_dim=ff_dim,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(x, mask=mask)
+        return x
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                eps: float = 1e-5) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 class HubertWithKmeans:
-    """Stateful façade: frozen HuBERT features + k-means token assignment."""
+    """Stateful façade: frozen HuBERT features + k-means token assignment.
+
+    `output_layer` (default None = all `depth` blocks) truncates the encoder
+    fairseq-style; pass 9 with a base checkpoint to match audiolm-pytorch's
+    HubertWithKmeans default (its k-means vocabularies are built over layer-9
+    features)."""
 
     def __init__(
         self,
@@ -92,6 +182,10 @@ class HubertWithKmeans:
         dim: int = 768,
         depth: int = 12,
         heads: int = 12,
+        ff_dim: Optional[int] = None,
+        conv_pos_kernel: int = 128,
+        conv_pos_groups: int = 16,
+        output_layer: Optional[int] = None,
         params: Optional[Any] = None,
         seed: int = 0,
     ):
@@ -100,11 +194,16 @@ class HubertWithKmeans:
         self.num_clusters = num_clusters
         self.codebook_size = num_clusters
 
-        assert dim % heads == 0 and (dim // heads) % 2 == 0, (
-            "dim/heads must be even for rotary embedding"
-        )
+        if output_layer is not None:
+            assert 1 <= output_layer <= depth, (
+                f"output_layer {output_layer} outside [1, depth={depth}]"
+            )
+            depth = output_layer
         self.feature_extractor = HubertFeatureExtractor()
-        self.encoder = HubertEncoder(dim=dim, depth=depth, heads=heads)
+        self.encoder = HubertEncoder(
+            dim=dim, depth=depth, heads=heads, ff_dim=ff_dim,
+            conv_pos_kernel=conv_pos_kernel, conv_pos_groups=conv_pos_groups,
+        )
 
         if params is None:
             rng = jax.random.PRNGKey(seed)
@@ -118,6 +217,7 @@ class HubertWithKmeans:
             centroids = jax.random.normal(k4, (num_clusters, dim))
             params = {
                 "feature_extractor": feat_params,
+                "proj_norm": {"scale": jnp.ones((512,)), "bias": jnp.zeros((512,))},
                 "proj": proj,
                 "encoder": enc_params,
                 "kmeans": centroids,
@@ -151,13 +251,22 @@ class HubertWithKmeans:
     def downsample_factor(self) -> int:
         return 320
 
-    def _forward_impl(self, params, wav: jax.Array) -> jax.Array:
+    def _features_impl(self, params, wav: jax.Array) -> jax.Array:
         feats = self.feature_extractor.apply(
             {"params": params["feature_extractor"]}, wav
         )
+        # feature projection: LayerNorm(512) then Linear(512 -> dim), matching
+        # transformers Wav2Vec2FeatureProjection / fairseq layer_norm +
+        # post_extract_proj
+        if "proj_norm" in params:
+            feats = _layer_norm(
+                feats, params["proj_norm"]["scale"], params["proj_norm"]["bias"]
+            )
         feats = feats @ params["proj"]["kernel"] + params["proj"]["bias"]
-        feats = self.encoder.apply({"params": params["encoder"]}, feats)
+        return self.encoder.apply({"params": params["encoder"]}, feats)
 
+    def _forward_impl(self, params, wav: jax.Array) -> jax.Array:
+        feats = self._features_impl(params, wav)
         centroids = params["kmeans"]  # (k, dim)
         dist = (
             jnp.sum(jnp.square(feats), axis=-1, keepdims=True)
@@ -179,17 +288,7 @@ class HubertWithKmeans:
         wav = jnp.asarray(wav)
         if wav.ndim == 3 and wav.shape[1] == 1:
             wav = wav[:, 0]
-        p = self.params
-
-        @jax.jit
-        def run(params, wav):
-            feats = self.feature_extractor.apply(
-                {"params": params["feature_extractor"]}, wav
-            )
-            feats = feats @ params["proj"]["kernel"] + params["proj"]["bias"]
-            return self.encoder.apply({"params": params["encoder"]}, feats)
-
-        return run(p, wav)
+        return jax.jit(self._features_impl)(self.params, wav)
 
     def fit_kmeans(self, wavs=None, *, features=None, rng=None, iters: int = 50):
         """Build the semantic-token vocabulary from a corpus IN-FRAMEWORK

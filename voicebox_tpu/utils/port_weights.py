@@ -53,13 +53,15 @@ def torch_convtranspose1d_to_flax(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])
 
 
-def fuse_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
-    """w = g * v / ||v|| with the norm over all dims except dim 0 (torch
-    weight_norm default)."""
-    norm = np.sqrt(
-        np.sum(weight_v.reshape(weight_v.shape[0], -1) ** 2, axis=1)
-    ).reshape((-1,) + (1,) * (weight_v.ndim - 1))
-    return weight_g * weight_v / np.maximum(norm, 1e-12)
+def fuse_weight_norm(
+    weight_g: np.ndarray, weight_v: np.ndarray, dim: int = 0
+) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all dims except `dim` (torch
+    weight_norm; dim=0 is the torch default, dim=2 is wav2vec2's pos conv)."""
+    axes = tuple(i for i in range(weight_v.ndim) if i != dim)
+    norm = np.sqrt(np.sum(weight_v.astype(np.float64) ** 2, axis=axes,
+                          keepdims=True))
+    return (weight_g * weight_v / np.maximum(norm, 1e-12)).astype(weight_v.dtype)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -290,37 +292,158 @@ def load_encodec_torch(path: str, template_params, ratios=(8, 5, 4, 2)):
 
 def load_hubert_torch(path: str, template_params):
     """Port a fairseq/transformers HuBERT state dict into our HubertWithKmeans
-    param tree. Maps the conv feature extractor (kernels + the layer-0
-    group norm) and the feature projection; the transformer encoder and
-    k-means centroids keep their initialisation unless supplied separately
-    (`kmeans_path` on HubertWithKmeans)."""
+    param tree — the FULL model: conv feature extractor (kernels + the layer-0
+    group norm), feature projection (LayerNorm + Linear), the weight-normed
+    conv positional embedding, the pre-layers LayerNorm, and every encoder
+    block present in the template (biased q/k/v/out, post-attn LayerNorm,
+    fc1/fc2 FFN, final LayerNorm). k-means centroids load separately
+    (`kmeans_path` on HubertWithKmeans).
+
+    Name maps handled:
+    * transformers `HubertModel`/`Wav2Vec2Model` (optionally under a
+      `hubert.`/`wav2vec2.` prefix), including the new-style weight-norm
+      parametrization keys (`...parametrizations.weight.original0/1`)
+    * fairseq `HubertModel` (`post_extract_proj`, `encoder.pos_conv.0`,
+      `encoder.layers.{i}.self_attn.*`, `fc1`/`fc2`)
+
+    Fails loudly: encoder blocks in the template that find no matching torch
+    tensors raise (a silently partial port would produce meaningless semantic
+    tokens — VERDICT r2 missing-item 1)."""
     import jax.numpy as jnp
 
     sd = load_torch_state_dict(path)
     p = _as_mutable(template_params)
 
-    # transformers naming: feature_extractor.conv_layers.{i}.conv.weight
+    def first_key(*candidates):
+        for k in candidates:
+            if k in sd:
+                return k
+        return None
+
+    def variants(suffix):
+        """Expand a bare key into the transformers/fairseq prefixed forms."""
+        return (suffix, f"hubert.{suffix}", f"wav2vec2.{suffix}")
+
+    # --- conv feature extractor -------------------------------------------
+    # transformers: feature_extractor.conv_layers.{i}.conv.weight
+    # fairseq:      feature_extractor.conv_layers.{i}.0.weight
     for i in range(7):
-        for prefix in (
-            f"feature_extractor.conv_layers.{i}.conv",
-            f"hubert.feature_extractor.conv_layers.{i}.conv",
-        ):
-            if f"{prefix}.weight" in sd:
-                p["feature_extractor"][f"conv_{i}"]["kernel"] = jnp.asarray(
-                    torch_conv1d_to_flax(sd[f"{prefix}.weight"])
-                )
-    # layer-0 group norm (feat_extract_norm="group" in hubert-base)
-    for prefix in (
-        "feature_extractor.conv_layers.0.layer_norm",
-        "hubert.feature_extractor.conv_layers.0.layer_norm",
-    ):
-        if f"{prefix}.weight" in sd:
-            p["feature_extractor"]["group_norm"]["scale"] = jnp.asarray(sd[f"{prefix}.weight"])
-            p["feature_extractor"]["group_norm"]["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
-    for prefix in ("feature_projection.projection", "hubert.feature_projection.projection"):
-        if f"{prefix}.weight" in sd:
-            p["proj"]["kernel"] = jnp.asarray(torch_linear_to_dense(sd[f"{prefix}.weight"]))
-            p["proj"]["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        key = first_key(
+            *variants(f"feature_extractor.conv_layers.{i}.conv.weight"),
+            f"feature_extractor.conv_layers.{i}.0.weight",
+        )
+        if key is not None:
+            p["feature_extractor"][f"conv_{i}"]["kernel"] = jnp.asarray(
+                torch_conv1d_to_flax(sd[key])
+            )
+    # layer-0 group norm (feat_extract_norm="group" in hubert-base);
+    # fairseq puts it at conv_layers.0.2 (Sequential index)
+    gn = first_key(
+        *variants("feature_extractor.conv_layers.0.layer_norm.weight"),
+        "feature_extractor.conv_layers.0.2.weight",
+    )
+    if gn is not None:
+        p["feature_extractor"]["group_norm"]["scale"] = jnp.asarray(sd[gn])
+        p["feature_extractor"]["group_norm"]["bias"] = jnp.asarray(
+            sd[gn.replace(".weight", ".bias")]
+        )
+
+    # --- feature projection: LayerNorm + Linear ---------------------------
+    pn = first_key(*variants("feature_projection.layer_norm.weight"),
+                   "layer_norm.weight")
+    if pn is not None and "proj_norm" in p:
+        p["proj_norm"]["scale"] = jnp.asarray(sd[pn])
+        p["proj_norm"]["bias"] = jnp.asarray(sd[pn.replace(".weight", ".bias")])
+    pj = first_key(*variants("feature_projection.projection.weight"),
+                   "post_extract_proj.weight")
+    if pj is not None:
+        p["proj"]["kernel"] = jnp.asarray(torch_linear_to_dense(sd[pj]))
+        p["proj"]["bias"] = jnp.asarray(sd[pj.replace(".weight", ".bias")])
+
+    # --- encoder ----------------------------------------------------------
+    if "encoder" not in p:
+        return p
+    enc = p["encoder"]
+
+    def put(dst, key, value):
+        assert key in dst, f"no flax leaf {key!r} (have {sorted(dst)})"
+        assert tuple(dst[key].shape) == tuple(value.shape), (
+            f"hubert encoder {key}: flax {tuple(dst[key].shape)} vs torch "
+            f"{tuple(value.shape)}"
+        )
+        dst[key] = jnp.asarray(value)
+
+    def set_dense(dst, tkey):
+        put(dst, "kernel", torch_linear_to_dense(sd[tkey + ".weight"]))
+        put(dst, "bias", sd[tkey + ".bias"])
+
+    def set_ln(dst, tkey):
+        put(dst, "scale", sd[tkey + ".weight"])
+        put(dst, "bias", sd[tkey + ".bias"])
+
+    # weight-normed conv positional embedding (weight_norm dim=2):
+    # transformers old keys weight_g/weight_v, new keys
+    # parametrizations.weight.original0/original1; fairseq encoder.pos_conv.0
+    pos_prefix = None
+    for cand in (*variants("encoder.pos_conv_embed.conv"), "encoder.pos_conv.0"):
+        if (f"{cand}.weight_g" in sd
+                or f"{cand}.parametrizations.weight.original0" in sd
+                or f"{cand}.weight" in sd):
+            pos_prefix = cand
+            break
+    if pos_prefix is not None:
+        if f"{pos_prefix}.weight_g" in sd:
+            w = fuse_weight_norm(sd[f"{pos_prefix}.weight_g"],
+                                 sd[f"{pos_prefix}.weight_v"], dim=2)
+        elif f"{pos_prefix}.parametrizations.weight.original0" in sd:
+            w = fuse_weight_norm(
+                sd[f"{pos_prefix}.parametrizations.weight.original0"],
+                sd[f"{pos_prefix}.parametrizations.weight.original1"], dim=2,
+            )
+        else:
+            w = sd[f"{pos_prefix}.weight"]
+        put(enc["pos_conv"], "kernel", torch_conv1d_to_flax(w))
+        put(enc["pos_conv"], "bias", sd[f"{pos_prefix}.bias"])
+
+    ln = first_key(*variants("encoder.layer_norm.weight"))
+    if ln is not None:
+        set_ln(enc["pre_norm"], ln[: -len(".weight")])
+
+    n_layers = sum(1 for k in enc if k.startswith("layer_"))
+    for i in range(n_layers):
+        blk = enc[f"layer_{i}"]
+        # transformers: encoder.layers.{i}.attention.q_proj;
+        # fairseq: encoder.layers.{i}.self_attn.q_proj
+        attn = first_key(
+            *variants(f"encoder.layers.{i}.attention.q_proj.weight"),
+            f"encoder.layers.{i}.self_attn.q_proj.weight",
+        )
+        assert attn is not None, (
+            f"hubert port: no torch weights found for encoder layer {i} "
+            f"(template has {n_layers} blocks) — refusing a partial port"
+        )
+        attn_prefix = attn[: -len(".q_proj.weight")]
+        layer_prefix = attn_prefix.rsplit(".", 1)[0]
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            set_dense(blk[name], f"{attn_prefix}.{name}")
+        # post-attn LayerNorm: transformers `layer_norm`, fairseq
+        # `self_attn_layer_norm`
+        post_ln = first_key(f"{layer_prefix}.layer_norm.weight",
+                            f"{layer_prefix}.self_attn_layer_norm.weight")
+        assert post_ln is not None, f"hubert port: layer {i} missing post-attn LN"
+        set_ln(blk["attn_norm"], post_ln[: -len(".weight")])
+        # FFN: transformers feed_forward.intermediate_dense/output_dense,
+        # fairseq fc1/fc2
+        fc1 = first_key(f"{layer_prefix}.feed_forward.intermediate_dense.weight",
+                        f"{layer_prefix}.fc1.weight")
+        fc2 = first_key(f"{layer_prefix}.feed_forward.output_dense.weight",
+                        f"{layer_prefix}.fc2.weight")
+        assert fc1 is not None and fc2 is not None, (
+            f"hubert port: layer {i} missing FFN weights"
+        )
+        set_dense(blk["fc1"], fc1[: -len(".weight")])
+        set_dense(blk["fc2"], fc2[: -len(".weight")])
+        set_ln(blk["final_norm"], f"{layer_prefix}.final_layer_norm")
     return p
 
 

@@ -68,7 +68,9 @@ def main():
     t_oneshot = min(r[2] for r in results)
     n_samples = results[0][3]
     audio_s = n_samples / 24000.0
-    first_chunk_s = WINDOW * 320 / 24000.0
+    # the first yielded chunk is (WINDOW - OVERLAP) frames: drain() withholds
+    # a decode_ctx right guard of OVERLAP frames until more latents arrive
+    first_chunk_s = (WINDOW - OVERLAP) * 320 / 24000.0
     print(f"utterance: {audio_s:.1f} s audio ({n_samples} samples)")
     print(f"time-to-first-audio (streaming, {first_chunk_s:.1f} s chunk): "
           f"{t_first * 1e3:.1f} ms")

@@ -30,6 +30,7 @@ def engine():
     return TTSEngine(
         cfm, text_buckets=(8, 16), batch_buckets=(1, 2),
         steps=2, max_semantic_token_ids=12, decode_to_audio=False,
+        long_window_frames=8, long_overlap_frames=2,
     )
 
 
@@ -48,6 +49,7 @@ def dp_engine():
     return TTSEngine(
         cfm, text_buckets=(8,), batch_buckets=(1, 2), steps=2,
         decode_to_audio=False, frames_per_token=4,
+        long_window_frames=8, long_overlap_frames=2,
     )
 
 
@@ -144,9 +146,78 @@ class TestOverflowHandling:
         assert out.shape[0] == 5
         assert jnp.isfinite(out).all()
 
-    def test_text_longer_than_largest_bucket_raises(self, engine):
-        with pytest.raises(ValueError, match="exceeds the largest text bucket"):
-            engine.synthesize(["x" * 100])  # graphemes >> bucket 16
+    def test_text_longer_than_largest_bucket_raises_when_disabled(self, engine):
+        engine.enable_long_form = False
+        try:
+            with pytest.raises(ValueError,
+                               match="exceeds the largest text bucket"):
+                engine.synthesize(["x" * 100])  # graphemes >> bucket 16
+        finally:
+            engine.enable_long_form = True
+
+
+class TestLongForm:
+    """VERDICT r2 item 2: over-bucket texts synthesize via windowed
+    infilling, chunks stream, and the compile counter stays flat after
+    warmup."""
+
+    LONG = "the quick brown fox jumps over the lazy dog again and again"
+
+    def test_over_bucket_text_synthesizes(self, engine):
+        engine.warmup()
+        clips = engine.synthesize([self.LONG], trim=True)
+        assert len(clips) == 1
+        n_tokens = np.asarray(
+            engine._tokenizer().texts_to_tensor_ids([self.LONG])
+        ).shape[1]
+        assert n_tokens > engine.text_buckets[-1]  # really over-bucket
+        # latents: (n_frames, dim); the long path spans >= one window
+        assert clips[0].shape[0] >= engine.long_window_frames
+        assert np.isfinite(clips[0]).all()
+
+    def test_streaming_chunks(self, engine):
+        engine.warmup()
+        chunks = list(engine.synthesize_stream(self.LONG,
+                                               rng=jax.random.PRNGKey(3)))
+        assert len(chunks) >= 2  # actually streams (multiple windows)
+        total = sum(c.shape[1] for c in chunks)
+        clips = engine.synthesize([self.LONG], trim=True)
+        assert total == clips[0].shape[0]
+
+    def test_short_text_streams_one_chunk(self, engine):
+        engine.warmup()
+        chunks = list(engine.synthesize_stream("hi"))
+        assert len(chunks) == 1
+
+    def test_no_recompile_after_warmup_long(self, engine):
+        engine.warmup()
+        before = _COMPILES.count
+        engine.synthesize([self.LONG])
+        list(engine.synthesize_stream(self.LONG + " and some more words"))
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the long-form "
+            "request path"
+        )
+
+    def test_mixed_short_and_long_batch(self, engine):
+        engine.warmup()
+        out, lengths = engine.synthesize(["hi", self.LONG],
+                                         return_lengths=True)
+        lengths = np.asarray(lengths)
+        assert out.shape[0] == 2 and lengths.shape == (2,)
+        assert lengths[1] > lengths[0]  # the long text made more frames
+        assert jnp.isfinite(out).all()
+
+    def test_duration_mode_long_form(self, dp_engine):
+        dp_engine.warmup()
+        before = _COMPILES.count
+        clips = dp_engine.synthesize([self.LONG], trim=True)
+        assert len(clips) == 1 and np.isfinite(clips[0]).all()
+        assert clips[0].shape[0] >= dp_engine.long_window_frames
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the DP long-form "
+            "request path"
+        )
 
 
 class TestSampleLengths:

@@ -487,10 +487,15 @@ class ConditionalFlowMatcherWrapper:
         # "int8": run the transformer's Dense matmuls as s8 x s8 -> s32 MXU
         # ops (2x the bf16 MXU rate on v5e) — weights quantized once per
         # params version, activations dynamically per token (ops/quant.py).
+        # Measured best large-model small-batch config: param_store_dtype=
+        # bf16 + quantize="int8" (1.23x at dim 1024 batch 1, PERFORMANCE.md).
         # "w8a16": weight-only — int8 weights dequantized inside a Pallas
-        # matmul's VMEM pipeline (half the weight HBM read; best for large
-        # models at small batch). Beyond-parity serving levers, off by
-        # default (reference has no quantized path).
+        # matmul's VMEM pipeline. MEASURED SLOWER than the bf16 baseline on
+        # this model's shapes at every benchmarked config (0.69-0.99x,
+        # benchmarks/int8_serving.py): its grid re-streams the activation
+        # block per weight-column block; kept for genuinely weight-bound
+        # niches only. Beyond-parity serving levers, off by default
+        # (reference has no quantized path).
         quantize: Optional[str] = None,
         # Serve from params stored in this dtype (one cached cast per params
         # version). bf16 storage is numerically FREE for a bf16-compute model
@@ -499,6 +504,11 @@ class ConditionalFlowMatcherWrapper:
         # 1.10x at dim 1024 batch 1, 1.23x combined with quantize="int8"
         # (ops/quant.py::cast_float_params). None keeps the checkpoint dtype.
         param_store_dtype: Optional[jnp.dtype] = None,
+        # set True when `semantic_token_ids` are ALREADY aligned 1:1 with
+        # latent frames (sample_long's window loop pre-stretches them):
+        # skips the wav2vec/codec sample-rate reconciliation so cond keeps
+        # its given length
+        ids_at_frame_rate: bool = False,
         rng: Optional[jax.Array] = None,
         params=None,
     ):
@@ -586,9 +596,12 @@ class ConditionalFlowMatcherWrapper:
             cond_target_length = cond_tokens_seq_len
 
             if cond is not None:
-                if self.text_to_semantic is not None:
+                if (self.text_to_semantic is not None and codec is not None
+                        and not ids_at_frame_rate):
                     # sample-rate algebra between wav2vec and the codec
-                    # (voicebox_pytorch.py:1246-1257)
+                    # (voicebox_pytorch.py:1246-1257); skipped when the codec
+                    # is absent (latent-space serving: token count IS the
+                    # frame count) or when the caller pre-stretched the ids
                     wav2vec = self.text_to_semantic.wav2vec
                     cond_target_length = math.ceil(
                         (cond_tokens_seq_len * wav2vec.target_sample_hz / wav2vec.downsample_factor)
@@ -681,11 +694,43 @@ class ConditionalFlowMatcherWrapper:
             return out, frames * codec.downsample_factor
         return out, frames
 
+    def frames_per_semantic_token(self) -> float:
+        """Latent frames produced per semantic token — the wav2vec/codec
+        sample-rate ratio used by sample()'s length reconciliation
+        (voicebox_pytorch.py:1246-1257); 1.0 when either side is absent
+        (latent-space models: one frame per token)."""
+        codec = self.voicebox.audio_enc_dec
+        if (self.text_to_semantic is None or codec is None
+                or self.text_to_semantic.wav2vec is None):
+            return 1.0
+        wav2vec = self.text_to_semantic.wav2vec
+        return (wav2vec.target_sample_hz / wav2vec.downsample_factor) / (
+            codec.sampling_rate / codec.downsample_factor
+        )
+
+    def _long_total_frames(self, n_ids: int, total_frames) -> int:
+        """Default long-form horizon: token count scaled by the wav2vec/codec
+        rate ratio (matching sample()'s cond length for the same ids)."""
+        if total_frames is not None:
+            return int(total_frames)
+        return math.ceil(n_ids * self.frames_per_semantic_token())
+
+    @staticmethod
+    def _validate_long_args(total_frames, window_frames, overlap_frames):
+        assert 0 < overlap_frames < window_frames, (
+            f"need 0 < overlap_frames ({overlap_frames}) < window_frames "
+            f"({window_frames})"
+        )
+        assert total_frames >= window_frames, (
+            f"total_frames {total_frames} < window_frames {window_frames}: "
+            "use sample() directly for short outputs"
+        )
+
     def sample_long(
         self,
         *,
         semantic_token_ids,  # (b, n_ids) conditioning ids for the WHOLE output
-        total_frames: Optional[int] = None,  # default: one latent frame per id
+        total_frames: Optional[int] = None,  # default: rate-scaled id count
         window_frames: int = 768,
         overlap_frames: int = 128,
         prompt=None,  # (b, p, d) latents or (b, p_samples) raw audio voice prompt
@@ -734,7 +779,7 @@ class ConditionalFlowMatcherWrapper:
         self,
         *,
         semantic_token_ids,  # (b, n_ids) conditioning ids for the WHOLE output
-        total_frames: Optional[int] = None,  # default: one latent frame per id
+        total_frames: Optional[int] = None,  # default: rate-scaled id count
         window_frames: int = 768,
         overlap_frames: int = 128,
         prompt=None,  # (b, p, d) latents or (b, p_samples) raw audio voice prompt
@@ -747,11 +792,13 @@ class ConditionalFlowMatcherWrapper:
         rng: Optional[jax.Array] = None,
         params=None,
     ):
-        """Streaming unbounded-length synthesis: a generator yielding audio
-        (or latent) chunks as each infilling window completes, so playback can
-        start after ONE window's sampling latency instead of the whole
-        utterance's (beyond-parity: the reference only returns a complete
-        fixed horizon, voicebox_pytorch.py:1289).
+        """Streaming unbounded-length synthesis: returns a generator yielding
+        audio (or latent) chunks as each infilling window completes, so
+        playback can start after ONE window's sampling latency instead of the
+        whole utterance's (beyond-parity: the reference only returns a
+        complete fixed horizon, voicebox_pytorch.py:1289). Arguments are
+        validated eagerly at call time (misuse fails here, not on first
+        consumption).
 
         With `decode_to_audio=False` the yielded latent chunks concatenate to
         exactly `sample_long(decode_to_audio=False)` for the same rng (both
@@ -760,24 +807,38 @@ class ConditionalFlowMatcherWrapper:
         of already-emitted latent left-context and a same-sized right guard of
         not-yet-emitted frames, then trimmed to the new samples — so every
         emitted sample sees a full receptive field of latent context on both
-        sides. Seam-free for the time-local conv/iSTFT decoders
-        (MelVoco/Vocos, receptive field << the default guard): bit-exact vs
-        the one-shot decode on f32 backends; on TPU the default-precision
-        matmuls can tile differently per chunk shape (measured ~5e-3 abs on
-        O(1) audio for SHORT decodes generally — the same rounding any shape
-        change induces, not a seam artifact). EncodecVoco's LSTM decoder
-        carries unbounded left state, so its chunk seams are approximate —
-        use non-streaming `sample_long` for bit-exact Encodec decodes.
-        Steady-state chunks have one static shape, so streaming reuses one
-        compiled decode program after the first chunk."""
+        sides. Seam-free for the time-local decoders — MelVoco/Vocos
+        (ConvNeXt + 'same'-padded iSTFT) and EncodecVoco.decode (RVQ
+        quantise -> Vocos; it never runs the Encodec LSTM decoder,
+        codec.py:222-240) — whose receptive fields are << the default guard:
+        bit-exact vs the one-shot decode on f32 backends; on TPU the
+        default-precision matmuls can tile differently per chunk shape
+        (measured ~5e-3 abs on O(1) audio for SHORT decodes generally — the
+        same rounding any shape change induces, not a seam artifact).
+        Steady-state chunks share ONE static decode shape (one compiled
+        program); the first window and the final drain buffer are two more
+        shapes, so a full stream compiles at most three decode programs —
+        and when total_frames lands exactly on window + k*hop the final
+        drain reuses the steady-state shape (the serving engine quantises
+        to this grid)."""
+        total = self._long_total_frames(
+            jnp.asarray(semantic_token_ids).shape[1], total_frames
+        )
+        self._validate_long_args(total, window_frames, overlap_frames)
+        ctx = overlap_frames if decode_ctx_frames is None else decode_ctx_frames
+        assert ctx >= 0
         chunks = self._sample_long_chunks(
-            semantic_token_ids=semantic_token_ids, total_frames=total_frames,
+            semantic_token_ids=semantic_token_ids, total_frames=total,
             window_frames=window_frames, overlap_frames=overlap_frames,
             prompt=prompt, steps=steps, cond_scale=cond_scale,
             quantize=quantize, param_store_dtype=param_store_dtype,
             rng=rng, params=params,
         )
         codec = self.voicebox.audio_enc_dec
+        return self._stream_decode(chunks, codec, decode_to_audio, ctx)
+
+    @staticmethod
+    def _stream_decode(chunks, codec, decode_to_audio: bool, ctx: int):
         if not decode_to_audio or codec is None:
             for chunk in chunks:
                 yield jnp.asarray(chunk)
@@ -785,8 +846,6 @@ class ConditionalFlowMatcherWrapper:
 
         import numpy as np
 
-        ctx = overlap_frames if decode_ctx_frames is None else decode_ctx_frames
-        assert ctx >= 0
         spf = codec.downsample_factor  # samples per latent frame
         buf = None  # latent frames [next_emit - left, received)
         left = 0    # already-emitted context frames at buf's head
@@ -829,15 +888,10 @@ class ConditionalFlowMatcherWrapper:
         moment their window is sampled — the next window keeps its overlap
         prefix verbatim — so chunks can be decoded/played while later windows
         are still being generated."""
-        assert 0 < overlap_frames < window_frames
         ids = jnp.asarray(semantic_token_ids)
         b, n_ids = ids.shape
-        if total_frames is None:
-            total_frames = n_ids
-        assert total_frames >= window_frames, (
-            f"total_frames {total_frames} < window_frames {window_frames}: "
-            "use sample() directly for short outputs"
-        )
+        total_frames = self._long_total_frames(n_ids, total_frames)
+        self._validate_long_args(total_frames, window_frames, overlap_frames)
         rng = rng if rng is not None else self._next_rng()
         codec = self.voicebox.audio_enc_dec
         dim = self.voicebox.latent_dim
@@ -895,6 +949,7 @@ class ConditionalFlowMatcherWrapper:
                 self.sample(
                     cond=jnp.asarray(cond_w),
                     semantic_token_ids=jnp.asarray(ids_w),
+                    ids_at_frame_rate=True,  # ids pre-stretched above
                     cond_mask=jnp.broadcast_to(
                         jnp.asarray(~keep), (b, window_frames)
                     ),

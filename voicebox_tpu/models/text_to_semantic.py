@@ -326,7 +326,7 @@ class TextToSemantic:
         )
         self.params = params
         self._rng = jax.random.PRNGKey(seed)
-        self._samplers = {}
+        self._samplers = {}  # bounded LRU — see _get_sampler
 
     @property
     def eos_id(self):
@@ -388,6 +388,24 @@ class TextToSemantic:
                 return net.apply(*args, **kwargs)
 
         return apply
+
+
+    # compiled-generate cache, LRU-bounded like cfm._sampler_cache: callers
+    # sweeping many (batch, max_length, gamma, temperature, quantize) configs
+    # would otherwise pin every compiled program + its captured buffers
+    _SAMPLERS_MAX = 16
+
+    def _get_sampler(self, key, build):
+        cached = self._samplers.get(key)
+        if cached is not None:
+            self._samplers.pop(key)      # re-insert: mark most-recently-used
+            self._samplers[key] = cached
+            return cached
+        sampler = build()
+        while len(self._samplers) >= self._SAMPLERS_MAX:
+            self._samplers.pop(next(iter(self._samplers)))
+        self._samplers[key] = sampler
+        return sampler
 
     def _quantized_params(self, params):
         """Seq2seq param surgery, cached per params identity."""
@@ -803,33 +821,31 @@ class TextToSemantic:
             draft_layers = int(spec_decode_draft_layers)
             key = ("spec", batch, int(max_length), int(spec_decode_gamma),
                    draft_layers, quantize)
-            if key not in self._samplers:
-                self._samplers[key] = self._build_generate_spec(
-                    batch, int(max_length), int(spec_decode_gamma),
-                    draft_layers, quantize=quantize,
-                )
-            tokens, mask = self._samplers[key](params, source)
+            sampler = self._get_sampler(key, lambda: self._build_generate_spec(
+                batch, int(max_length), int(spec_decode_gamma),
+                draft_layers, quantize=quantize,
+            ))
+            tokens, mask = sampler(params, source)
         elif spec_decode:
             draft_layers = int(spec_decode_draft_layers)
             key = ("spec_sampled", batch, int(max_length),
                    int(spec_decode_gamma), draft_layers, float(temperature),
                    quantize)
-            if key not in self._samplers:
-                self._samplers[key] = self._build_generate_spec_sampled(
+            sampler = self._get_sampler(
+                key, lambda: self._build_generate_spec_sampled(
                     batch, int(max_length), int(spec_decode_gamma),
                     draft_layers, float(temperature), quantize=quantize,
-                )
-            tokens, mask = self._samplers[key](
+                ))
+            tokens, mask = sampler(
                 params, source, rng if rng is not None else self._next_rng()
             )
         else:
             key = (batch, int(max_length), float(temperature), quantize)
-            if key not in self._samplers:
-                self._samplers[key] = self._build_generate(
-                    batch, int(max_length), float(temperature),
-                    quantize=quantize,
-                )
-            tokens, mask = self._samplers[key](
+            sampler = self._get_sampler(key, lambda: self._build_generate(
+                batch, int(max_length), float(temperature),
+                quantize=quantize,
+            ))
+            tokens, mask = sampler(
                 params, source, rng if rng is not None else self._next_rng()
             )
         # replace padding (post-eos) ids with 0 for safe embedding lookups

@@ -13,9 +13,13 @@ tree once, cached by the sampler per params identity):
   weight blocks through VMEM and dequantizes them INSIDE the dot's operand
   pipeline (int8 -> bf16 convert on the VPU, overlapped with the MXU), so the
   weight's HBM traffic halves while activations stay untouched — no dynamic
-  quantization work, bf16 MXU rate. Wins in the weight-HBM-bound regime
-  (large model, small batch), exactly where PERFORMANCE.md measured the
-  "int8" mode's gains being eaten by the activation passes.
+  quantization work, bf16 MXU rate. MEASURED VERDICT (PERFORMANCE.md,
+  benchmarks/int8_serving.py): loses to the plain bf16 path at every
+  benchmarked shape of this model (0.69-0.99x) because the grid re-streams
+  the activation block once per weight-column block; the measured winner for
+  the weight-HBM-bound regime is `param_store_dtype=bf16` + `"int8"`
+  (1.23x at dim 1024 batch 1). Kept exact-and-tested for genuinely
+  weight-bound niches (very large models at m ~ 1 rows).
 
 Both modes quantize only the transformer's weight matmuls (qkv/out
 projections + GEGLU feed-forward + skip combiners — ~80% of a sampling

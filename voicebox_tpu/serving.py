@@ -52,14 +52,26 @@ class TTSEngine:
         frames_per_token: int = 8,
         frame_buckets: Optional[Sequence[int]] = None,
         # "int8": serve the denoiser's transformer matmuls on the MXU's s8
-        # path; "w8a16": weight-only int8 with in-VMEM Pallas dequant — best
-        # per-request latency for large models at small batch (ops/quant.py).
-        # Small output perturbation; off by default
+        # path — measured best per-request latency for large models at small
+        # batch when combined with param_store_dtype=bf16 (1.23x at dim 1024
+        # batch 1, PERFORMANCE.md). "w8a16": weight-only int8 with in-VMEM
+        # Pallas dequant — measured SLOWER than bf16 at every benchmarked
+        # config of this model (0.69-0.99x); niche use only. Small output
+        # perturbation; off by default
         quantize: Optional[str] = None,
         # serve from bf16-stored params: numerically free for a bf16-compute
         # model, halves the f32 weight HBM read (ops/quant.py::
         # cast_float_params) — measured 1.10x per-request at dim 1024
         param_store_dtype: Optional[jnp.dtype] = None,
+        # long-form: texts whose token count exceeds the largest text bucket
+        # are served by windowed infilling (cfm.sample_long_stream) — text
+        # segmented onto the bucket grid for conditioning-id generation, then
+        # one compiled window program over the whole id stream. These set the
+        # static window geometry (warmed like any bucket); enable_long_form=
+        # False restores the raise-on-overflow behaviour
+        long_window_frames: int = 768,
+        long_overlap_frames: int = 128,
+        enable_long_form: bool = True,
         # persist compiled bucket programs across process restarts: warmup
         # after the first deploy skips XLA compilation entirely
         # (utils/compilation_cache.py)
@@ -94,6 +106,10 @@ class TTSEngine:
         if frame_buckets is None:
             frame_buckets = tuple(b * frames_per_token for b in self.text_buckets)
         self.frame_buckets = tuple(sorted(frame_buckets))
+        assert 0 < long_overlap_frames < long_window_frames
+        self.long_window_frames = long_window_frames
+        self.long_overlap_frames = long_overlap_frames
+        self.enable_long_form = enable_long_form
         self._warm = False
 
     # ------------------------------------------------------------------
@@ -145,59 +161,230 @@ class TTSEngine:
         """texts -> audio (or latents when decode_to_audio=False), padded to
         the enclosing (batch, text-length) bucket and trimmed back along the
         batch dim. Requests beyond the largest batch bucket are served in
-        successive chunks (every text gets audio); a text longer than the
-        largest text bucket raises — silent truncation would return cut-off
-        speech.
+        successive chunks (every text gets audio). Texts longer than the
+        largest text bucket route through long-form windowed infilling
+        (`_stream_long`, one request at a time, still on warmed static
+        shapes); with `enable_long_form=False` they raise instead — silent
+        truncation would return cut-off speech.
 
-        The time axis always spans the full bucket horizon (static shapes);
+        The time axis spans the enclosing static horizon;
         `return_lengths=True` additionally returns per-request valid lengths
         (samples of audio / frames of latents), and `trim=True` returns a
-        LIST of per-request numpy arrays cut to those lengths instead."""
+        LIST of per-request numpy arrays cut to those lengths instead. When
+        long-form requests are mixed in, outputs of different horizons are
+        zero-padded to the longest before stacking (trim=True avoids the
+        padding copy)."""
         tok = self._tokenizer()
         ids_all = np.asarray(tok.texts_to_tensor_ids(list(texts)))
+        valid = (ids_all >= 0).sum(axis=1)
 
-        if ids_all.shape[1] > self.text_buckets[-1]:
+        max_bucket = self.text_buckets[-1]
+        long_rows = [i for i in range(len(texts)) if valid[i] > max_bucket]
+        if long_rows and not self.enable_long_form:
             raise ValueError(
-                f"text of {ids_all.shape[1]} tokens exceeds the largest text "
-                f"bucket {self.text_buckets[-1]}; raise text_buckets or split "
-                "the text"
+                f"text of {int(valid[long_rows[0]])} tokens exceeds the "
+                f"largest text bucket {max_bucket} and long-form serving is "
+                "disabled; raise text_buckets, split the text, or construct "
+                "the engine with enable_long_form=True"
             )
-        length = self._bucket(ids_all.shape[1], self.text_buckets)
+        short_rows = [i for i in range(len(texts)) if i not in set(long_rows)]
 
-        n_req = len(texts)
-        max_batch = self.batch_buckets[-1]
-        outs, lens = [], []
-        for start in range(0, n_req, max_batch):
-            chunk = ids_all[start : start + max_batch]
-            batch = self._bucket(chunk.shape[0], self.batch_buckets)
-            ids = self._pad_ids(chunk, batch, length)
+        results: dict = {}  # row -> (np array incl. batch dim 1, length)
+        if short_rows:
+            ids_short = ids_all[short_rows]
+            ids_short = ids_short[:, : max(1, int(valid[short_rows].max()))]
+            length = self._bucket(ids_short.shape[1], self.text_buckets)
+            max_batch = self.batch_buckets[-1]
+            for start in range(0, len(short_rows), max_batch):
+                rows = short_rows[start : start + max_batch]
+                chunk = ids_short[start : start + max_batch]
+                batch = self._bucket(chunk.shape[0], self.batch_buckets)
+                ids = self._pad_ids(chunk, batch, length)
+                if rng is not None:
+                    rng, chunk_rng = jax.random.split(rng)
+                else:
+                    chunk_rng = None
+                out, out_lens = self.wrapper.sample(
+                    **self._sample_kwargs(ids),
+                    steps=self.steps,
+                    cond_scale=self.cond_scale,
+                    decode_to_audio=self.decode_to_audio,
+                    return_lengths=True,
+                    quantize=self.quantize,
+                    param_store_dtype=self.param_store_dtype,
+                    rng=chunk_rng,
+                )
+                out, out_lens = np.asarray(out), np.asarray(out_lens)
+                for j, row in enumerate(rows):
+                    results[row] = (out[j : j + 1], int(out_lens[j]))
+        for row in long_rows:
             if rng is not None:
-                rng, chunk_rng = jax.random.split(rng)
+                rng, row_rng = jax.random.split(rng)
             else:
-                chunk_rng = None
-            out, out_lens = self.wrapper.sample(
-                **self._sample_kwargs(ids),
-                steps=self.steps,
-                cond_scale=self.cond_scale,
-                decode_to_audio=self.decode_to_audio,
-                return_lengths=True,
-                quantize=self.quantize,
-                param_store_dtype=self.param_store_dtype,
-                rng=chunk_rng,
-            )
-            outs.append(out[: chunk.shape[0]])
-            lens.append(out_lens[: chunk.shape[0]])
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        lengths = lens[0] if len(lens) == 1 else jnp.concatenate(lens, axis=0)
+                row_rng = None
+            chunks = list(self._stream_long(
+                ids_all[row : row + 1, : int(valid[row])], rng=row_rng
+            ))
+            time_axis = -1 if self.decode_to_audio else 1
+            full = np.concatenate([np.asarray(c) for c in chunks],
+                                  axis=time_axis)
+            results[row] = (full, full.shape[time_axis])
+
+        ordered = [results[i] for i in range(len(texts))]
         if trim:
-            out_np, lengths_np = np.asarray(out), np.asarray(lengths)
             if self.decode_to_audio:  # audio: time is the LAST axis
-                return [o[..., :n] for o, n in zip(out_np, lengths_np)]
+                return [o[0][..., :n] for o, n in ordered]
             # latents (n, d) / codes (n, q): time is the leading axis
-            return [o[:n] for o, n in zip(out_np, lengths_np)]
+            return [o[0][:n] for o, n in ordered]
+        # stack on a common horizon (zero-pad long/short mixes)
+        time_axis = (ordered[0][0].ndim - 1) if self.decode_to_audio else 1
+        horizon = max(o.shape[time_axis] for o, _ in ordered)
+        stacked = []
+        for o, _ in ordered:
+            pad = horizon - o.shape[time_axis]
+            if pad:
+                widths = [(0, 0)] * o.ndim
+                widths[time_axis] = (0, pad)
+                o = np.pad(o, widths)
+            stacked.append(o)
+        out = jnp.asarray(np.concatenate(stacked, axis=0))
         if return_lengths:
-            return out, lengths
+            # dtype fixed in numpy: jnp converting int64->int32 on device
+            # would be one (tiny) request-path compile
+            return out, jnp.asarray(
+                np.asarray([n for _, n in ordered], dtype=np.int32)
+            )
         return out
+
+    # ------------------------------------------------------------------
+    # long-form (over-bucket) serving
+    # ------------------------------------------------------------------
+
+    def synthesize_stream(self, text: str, rng=None):
+        """Single-text streaming synthesis: a generator yielding audio (or
+        latent) chunks. Over-bucket texts stream via windowed infilling —
+        time-to-first-audio is one window's sampling latency; in-bucket texts
+        yield their (trimmed) one-shot result as a single chunk. All shapes
+        are on the warmed static grid: no request-path compiles."""
+        tok = self._tokenizer()
+        ids = np.asarray(tok.texts_to_tensor_ids([text]))
+        n_tokens = int((ids[0] >= 0).sum())
+        if n_tokens <= self.text_buckets[-1]:
+            clip = self.synthesize([text], rng=rng, trim=True)[0]
+            yield jnp.asarray(clip)
+            return
+        assert self.enable_long_form, (
+            "text exceeds the largest bucket and enable_long_form=False"
+        )
+        yield from self._stream_long(ids[:, :n_tokens], rng=rng)
+
+    def _long_ratio(self) -> float:
+        """Latent frames per conditioning id on the long path. Semantic mode:
+        the wrapper's wav2vec/codec rate algebra; duration mode: aligned
+        phoneme ids are already at frame rate (1.0)."""
+        if self.mode == "semantic":
+            return self.wrapper.frames_per_semantic_token()
+        return 1.0
+
+    def _long_frame_ids(self, ids_row: np.ndarray):
+        """(1, n_tokens) over-bucket token ids -> (conditioning ids (1, m),
+        exact_frames). Text is segmented onto the largest text bucket; each
+        segment runs the warmed bucket program (AR semantic generation, or
+        duration prediction + alignment), valid outputs are trimmed and
+        concatenated host-side."""
+        seg = self.text_buckets[-1]
+        parts = []
+        if self.mode == "semantic":
+            tts = self.wrapper.text_to_semantic
+            for s in range(0, ids_row.shape[1], seg):
+                chunk = ids_row[:, s : s + seg]
+                length = self._bucket(chunk.shape[1], self.text_buckets)
+                padded = self._pad_ids(chunk, 1, length)
+                sem, mask = tts.generate(
+                    source=jnp.asarray(padded),
+                    source_type="text",
+                    target_type="speech",
+                    max_length=self.max_semantic_token_ids,
+                    return_target_mask=True,
+                    spec_decode=self.spec_decode,
+                )
+                n_valid = int(np.asarray(mask)[0].sum())
+                parts.append(np.asarray(sem)[:, : max(n_valid, 1)])
+        else:
+            dp = self.wrapper.duration_predictor
+            for s in range(0, ids_row.shape[1], seg):
+                chunk = ids_row[:, s : s + seg]
+                length = self._bucket(chunk.shape[1], self.text_buckets)
+                padded = self._pad_ids(chunk, 1, length)
+                frame_length = self._bucket(
+                    length * self.frames_per_token, self.frame_buckets
+                )
+                durations, aligned = dp.forward_with_cond_scale(
+                    cond=None,
+                    phoneme_ids=jnp.asarray(padded),
+                    return_aligned_phoneme_ids=True,
+                    total_length=frame_length,
+                )
+                n_valid = int(
+                    np.clip(np.round(np.asarray(durations)), 1, None)
+                    .astype(np.int64)
+                    .sum()
+                )
+                n_valid = min(max(n_valid, 1), frame_length)
+                parts.append(np.asarray(aligned)[:, :n_valid])
+        cond_ids = np.concatenate(parts, axis=1)
+        exact = int(np.ceil(cond_ids.shape[1] * self._long_ratio()))
+        return cond_ids, exact
+
+    def _stream_long(self, ids_row: np.ndarray, rng=None):
+        """Over-bucket request -> generator of audio/latent chunks via
+        cfm.sample_long_stream. The frame horizon is quantised UP to
+        window + k*hop so every decode program shape is covered by warmup
+        (the conditioning ids are right-padded with their last id to keep the
+        id->frame mapping rate-exact), and the emitted stream is trimmed back
+        to the exact frame count."""
+        cond_ids, exact = self._long_frame_ids(ids_row)
+        window, overlap = self.long_window_frames, self.long_overlap_frames
+        hop = window - overlap
+        total = window + int(np.ceil(max(exact - window, 0) / hop)) * hop
+        ratio = self._long_ratio()
+        n_pad_ids = int(np.ceil(total / ratio))
+        if n_pad_ids > cond_ids.shape[1]:
+            cond_ids = np.concatenate(
+                [cond_ids,
+                 np.repeat(cond_ids[:, -1:], n_pad_ids - cond_ids.shape[1],
+                           axis=1)],
+                axis=1,
+            )
+        codec = self.wrapper.voicebox.audio_enc_dec
+        as_audio = self.decode_to_audio and codec is not None
+        budget = exact * codec.downsample_factor if as_audio else exact
+        time_axis = -1 if as_audio else 1
+        for chunk in self.wrapper.sample_long_stream(
+            semantic_token_ids=jnp.asarray(cond_ids),
+            total_frames=total,
+            window_frames=window,
+            overlap_frames=overlap,
+            steps=self.steps,
+            cond_scale=self.cond_scale,
+            decode_to_audio=self.decode_to_audio,
+            quantize=self.quantize,
+            param_store_dtype=self.param_store_dtype,
+            rng=rng,
+        ):
+            n = chunk.shape[time_axis]
+            if n >= budget:
+                take = budget
+                budget = 0
+                if take:
+                    # trim on the HOST: slicing the jnp array would compile a
+                    # per-shape device program on the request path
+                    sl = [slice(None)] * chunk.ndim
+                    sl[time_axis] = slice(0, take)
+                    yield jnp.asarray(np.asarray(chunk)[tuple(sl)])
+                return
+            budget -= n
+            yield chunk
 
     def warmup(self, verbose: bool = False) -> float:
         """Pre-compile every (batch, text-length) bucket; returns seconds."""
@@ -220,5 +407,29 @@ class TTSEngine:
                 jnp.asarray(out).block_until_ready()
                 if verbose:
                     print(f"warm bucket batch={batch} len={length}", flush=True)
+        if self.enable_long_form:
+            # one two-window stream compiles every long-path program: the
+            # (b=1, window) infilling sampler and all three chunked-decode
+            # shapes (first window, steady state, final drain — requests are
+            # quantised onto the same window + k*hop grid, so the drain
+            # buffer shape recurs too)
+            window, overlap = self.long_window_frames, self.long_overlap_frames
+            total = 2 * window - overlap  # window + one hop
+            n_ids = int(np.ceil(total / self._long_ratio()))
+            for chunk in self.wrapper.sample_long_stream(
+                semantic_token_ids=jnp.zeros((1, n_ids), dtype=jnp.int32),
+                total_frames=total,
+                window_frames=window,
+                overlap_frames=overlap,
+                steps=self.steps,
+                cond_scale=self.cond_scale,
+                decode_to_audio=self.decode_to_audio,
+                quantize=self.quantize,
+                param_store_dtype=self.param_store_dtype,
+            ):
+                jnp.asarray(chunk).block_until_ready()
+            if verbose:
+                print(f"warm long-form window={window} overlap={overlap}",
+                      flush=True)
         self._warm = True
         return time.time() - t0

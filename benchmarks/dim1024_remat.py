@@ -26,13 +26,14 @@ LATENT_DIM = 128
 BATCH = 8
 
 
-def build(remat_policy, scan_layers=False, scores_dtype=None):
+def build(remat_policy, scan_layers=False, scores_dtype=None, use_flash=None):
     from voicebox_tpu import VoiceBox
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
 
     vb = VoiceBox(
         scan_layers=scan_layers,
         attn_scores_dtype=scores_dtype,
+        use_flash=use_flash,
         num_cond_tokens=500,
         dim_in=LATENT_DIM,
         dim_cond_emb=512,
@@ -51,11 +52,11 @@ def build(remat_policy, scan_layers=False, scores_dtype=None):
 
 
 def bench(remat_policy, moment_dtype=None, scan_layers=False,
-          scores_dtype=None):
+          scores_dtype=None, use_flash=None):
     from voicebox_tpu.training.optimizer import get_optimizer
 
     cfm = build(remat_policy, scan_layers=scan_layers,
-                scores_dtype=scores_dtype)
+                scores_dtype=scores_dtype, use_flash=use_flash)
     params = cfm.init_params(jax.random.PRNGKey(0), seq_len=SEQ_LEN, batch=2)
     opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5,
                         moment_dtype=moment_dtype)
@@ -106,7 +107,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     # each spec: "<policy>" with optional "+bf16m" / "+scan" / "+bf16s" flags
     specs = sys.argv[1:] or ["none", "dots"]
-    _FLAGS = {"bf16m", "bf16s", "scan"}
+    _FLAGS = {"bf16m", "bf16s", "scan", "flash"}
     for spec in specs:
         parts = spec.split("+")
         flags = {p for p in parts if p in _FLAGS}
@@ -117,15 +118,18 @@ def main():
         moment_dtype = jnp.bfloat16 if "bf16m" in flags else None
         scores_dtype = jnp.bfloat16 if "bf16s" in flags else None
         scan_layers = "scan" in flags
+        use_flash = True if "flash" in flags else None
         try:
             sps = bench(policy, moment_dtype=moment_dtype,
-                        scan_layers=scan_layers, scores_dtype=scores_dtype)
+                        scan_layers=scan_layers, scores_dtype=scores_dtype,
+                        use_flash=use_flash)
             print(json.dumps({
                 "metric": "train_steps_per_sec_dim1024_depth24_bs8",
                 "remat_policy": name,
                 "moment_dtype": "bf16" if moment_dtype else "f32",
                 "scores_dtype": "bf16" if scores_dtype else "f32",
                 "scan_layers": scan_layers,
+                "use_flash": bool(use_flash),
                 "value": round(sps, 3),
             }), flush=True)
         except Exception as e:  # OOM etc — record, keep going

@@ -1,0 +1,58 @@
+"""End-to-end quality canary regression (VERDICT r2 item 9): the FULL
+text->speech pipeline (text -> TextToSemantic -> semantic ids -> CFM ->
+log-mel latents), overfit on a tiny synthetic corpus, must land materially
+closer to ground truth than chance on the north-star metric (mel-spectral
+distance). `benchmarks/e2e_quality_canary.py` is the full-strength run whose
+numbers are recorded in PERFORMANCE.md; this is a shortened gate."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+
+@pytest.fixture(scope="module")
+def canary():
+    from benchmarks.e2e_quality_canary import build_and_train, sample_from_text
+
+    # 600 cfm steps is the measured minimum where the conditioning-used gate
+    # holds (own-utterance 69.9 < cross-utterance 87.7 dB/frame); the
+    # benchmark's full budget (2000) reaches 48.5
+    pipe, gt = build_and_train(tts_steps=250, cfm_steps=600,
+                               verbose=lambda *a: None)
+    gen = sample_from_text(pipe, steps=12)
+    return pipe, gt, gen
+
+
+def test_trained_pipeline_beats_chance(canary):
+    from benchmarks.e2e_quality_canary import mel_msd, sample_from_text
+
+    pipe, gt, gen = canary
+    msd = mel_msd(gen, gt)
+    untrained = pipe["cfm"].init_params(
+        jax.random.PRNGKey(99), seq_len=pipe["n_frames"], batch=1
+    )
+    msd0 = mel_msd(sample_from_text(pipe, params=untrained, steps=12), gt)
+    assert np.isfinite(msd) and np.isfinite(msd0)
+    assert msd < 0.5 * msd0, (
+        f"trained MSD {msd:.1f} not materially below untrained {msd0:.1f}"
+    )
+
+
+def test_conditioning_is_used(canary):
+    """Generated utterance i must be closer to ITS ground truth than the
+    corpus's cross-utterance spread — i.e. the text actually conditions."""
+    import jax.numpy as jnp
+
+    from benchmarks.e2e_quality_canary import mel_msd
+
+    pipe, gt, gen = canary
+    own = mel_msd(gen, gt)
+    cross = mel_msd(gt, jnp.asarray(np.roll(np.asarray(gt), 1, axis=0)))
+    assert own < cross, (
+        f"own-utterance MSD {own:.1f} >= cross-utterance {cross:.1f}: "
+        "samples ignore their conditioning"
+    )

@@ -855,6 +855,22 @@ class TextToSemantic:
         return tokens
 
     def load(self, path):
+        """Restore params saved by THIS build (flax msgpack, mirroring the
+        reference's `.load(path)` surface, spear-tts `.load` call site
+        voicebox_pytorch.py:1167-1173 pattern).
+
+        DECLARED LIMITATION — no torch port for upstream spear-tts-pytorch
+        checkpoints: that package is a pip dependency whose module internals
+        are not in the reference repo (SURVEY.md §2.2 marks them "[contract
+        inferred from call site]"), and this build's TextToSemantic is a
+        contract re-implementation (encoder-decoder with KV-cached scan
+        decode) whose parameterization has no verifiable 1:1 name map to the
+        upstream layout. Without the upstream source in-image, a state-dict
+        walker could not be round-trip-tested the way load_voicebox_torch /
+        load_hubert_torch are — so rather than ship an unverifiable port,
+        upstream text->semantic weights require retraining the seq2seq here
+        (the HuBERT k-means vocabulary it predicts IS ported exactly, so the
+        training targets carry over — see models/hubert.py)."""
         from flax import serialization
 
         with open(path, "rb") as f:

@@ -486,5 +486,10 @@ def attend(
         long_seq = k.shape[2] > 4096
         use_flash = long_seq and jax.default_backend() in ("tpu", "axon")
     if use_flash:
+        if k.shape[2] <= 1024 and q.shape[-1] == 128:
+            # short-seq MXU-full geometry: 384/768 swept fastest at n=768
+            # d=128 (benchmarks/train_attn_sweep.py — 0.63 vs 0.87 ms for
+            # the long-seq default blocks, 0.94 ms XLA fused, fwd+bwd)
+            return flash_attention(q, k, v, mask, scale, 384, 768)
         return flash_attention(q, k, v, mask, scale)
     return reference_attention(q, k, v, mask, scale, scores_dtype=scores_dtype)

@@ -26,11 +26,12 @@ LATENT_DIM = 128
 BATCH = 8
 
 
-def build(remat_policy, scan_layers=False, scores_dtype=None, use_flash=None):
+def build(remat_policy, scan_layers=False, scores_dtype=None, use_flash=None, ff_mult=4.0):
     from voicebox_tpu import VoiceBox
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
 
     vb = VoiceBox(
+        ff_mult=ff_mult,
         scan_layers=scan_layers,
         attn_scores_dtype=scores_dtype,
         use_flash=use_flash,
@@ -52,11 +53,12 @@ def build(remat_policy, scan_layers=False, scores_dtype=None, use_flash=None):
 
 
 def bench(remat_policy, moment_dtype=None, scan_layers=False,
-          scores_dtype=None, use_flash=None):
+          scores_dtype=None, use_flash=None, ff_mult=4.0):
     from voicebox_tpu.training.optimizer import get_optimizer
 
     cfm = build(remat_policy, scan_layers=scan_layers,
-                scores_dtype=scores_dtype, use_flash=use_flash)
+                scores_dtype=scores_dtype, use_flash=use_flash,
+                ff_mult=ff_mult)
     params = cfm.init_params(jax.random.PRNGKey(0), seq_len=SEQ_LEN, batch=2)
     opt = get_optimizer(lr=1e-4, wd=1e-2, max_grad_norm=0.5,
                         moment_dtype=moment_dtype)
@@ -107,7 +109,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     # each spec: "<policy>" with optional "+bf16m" / "+scan" / "+bf16s" flags
     specs = sys.argv[1:] or ["none", "dots"]
-    _FLAGS = {"bf16m", "bf16s", "scan", "flash"}
+    _FLAGS = {"bf16m", "bf16s", "scan", "flash", "ffla"}
     for spec in specs:
         parts = spec.split("+")
         flags = {p for p in parts if p in _FLAGS}
@@ -119,10 +121,11 @@ def main():
         scores_dtype = jnp.bfloat16 if "bf16s" in flags else None
         scan_layers = "scan" in flags
         use_flash = True if "flash" in flags else None
+        ff_mult = 4.125 if "ffla" in flags else 4.0
         try:
             sps = bench(policy, moment_dtype=moment_dtype,
                         scan_layers=scan_layers, scores_dtype=scores_dtype,
-                        use_flash=use_flash)
+                        use_flash=use_flash, ff_mult=ff_mult)
             print(json.dumps({
                 "metric": "train_steps_per_sec_dim1024_depth24_bs8",
                 "remat_policy": name,
@@ -130,6 +133,7 @@ def main():
                 "scores_dtype": "bf16" if scores_dtype else "f32",
                 "scan_layers": scan_layers,
                 "use_flash": bool(use_flash),
+                "ff_mult": ff_mult,
                 "value": round(sps, 3),
             }), flush=True)
         except Exception as e:  # OOM etc — record, keep going

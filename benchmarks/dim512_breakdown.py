@@ -102,6 +102,10 @@ def main():
         ("bf16_scores_stacked",
          {"ff_mult": 4.125, "attn_scores_dtype": jnp.bfloat16},
          {"moment_dtype": jnp.bfloat16}),
+        # Pallas flash pair at the swept short-seq blocks (384/768 at n=768
+        # d=128, benchmarks/train_attn_sweep.py) instead of XLA's fused path
+        ("flash_stacked", {"ff_mult": 4.125, "use_flash": True},
+         {"moment_dtype": jnp.bfloat16}),
     ]
     if len(sys.argv) > 1:
         names = set(sys.argv[1:])

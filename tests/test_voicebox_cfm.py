@@ -557,6 +557,46 @@ class TestSampleLong:
             cfm.sample_long(semantic_token_ids=ids, window_frames=64,
                             overlap_frames=16, steps=2)
 
+    def test_codec_semantic_rate_algebra(self, rng):
+        """sample_long with a CODEC-bearing semantic wrapper (wav2vec/codec
+        rates differ): the default horizon is the rate-scaled id count and
+        the window loop's inner sample() must NOT re-apply the rate algebra
+        to its pre-stretched per-window ids (regression: this crashed before
+        ids_at_frame_rate / the codec-None guard in cfm.sample)."""
+        import math
+
+        from voicebox_tpu.models.codec import MelVoco
+        from voicebox_tpu.models.hubert import HubertWithKmeans
+        from voicebox_tpu.models.text_to_semantic import TextToSemantic
+        from voicebox_tpu.models.vocos import Vocos
+        from voicebox_tpu.utils.tokenizer import GraphemeTokenizer
+
+        w2v = HubertWithKmeans(num_clusters=50, dim=32, depth=2, heads=4)
+        tts = TextToSemantic(dim=32, source_depth=2, target_depth=2, heads=4,
+                             dim_head=8, wav2vec=w2v,
+                             tokenizer=GraphemeTokenizer())
+        tts.init_params(jax.random.PRNGKey(0))
+        codec = MelVoco(n_mels=8, n_fft=64, win_length=64, hop_length=None,
+                        vocos=Vocos(input_channels=8, dim=32,
+                                    intermediate_dim=64, num_layers=1))
+        vb = VoiceBox(audio_enc_dec=codec, dim_in=8, dim=32, depth=2,
+                      dim_head=8, heads=4, dim_cond_emb=32,
+                      num_register_tokens=2, condition_on_text=True,
+                      num_cond_tokens=50, conv_pos_embed_kernel_size=7)
+        cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts)
+        cfm.init_params(jax.random.PRNGKey(1), seq_len=64, batch=1)
+
+        ratio = cfm.frames_per_semantic_token()
+        assert ratio != 1.0  # the interesting case: 50 Hz ids vs codec rate
+        n_ids = 240
+        ids = jax.random.randint(rng, (1, n_ids), 0, 50)
+        out = cfm.sample_long(
+            semantic_token_ids=ids, window_frames=64, overlap_frames=16,
+            steps=2, rng=jax.random.PRNGKey(6), decode_to_audio=False,
+        )
+        assert out.shape == (1, math.ceil(n_ids * ratio), 8)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
 
 class TestSampleLongStream:
     """Streaming unbounded synthesis (sample_long_stream): yields chunks as

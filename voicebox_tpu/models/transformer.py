@@ -54,7 +54,10 @@ __all__ = ["Transformer", "pipeline_stage_modules"]
 # tensors tagged with jax.ad_checkpoint.checkpoint_name inside the blocks —
 # composable into remat policies as 'dots+<name>+...' (profiling showed the
 # dots-policy recompute bill is elementwise work on exactly these tensors)
-_REMAT_TAGS = ("attn_probs", "qk_rotary", "norm_out", "gelu_out")
+_REMAT_TAGS = ("attn_probs", "qk_rotary", "norm_out", "gelu_out",
+               "attn_out", "attn_lse")  # attn_out/lse: the flash kernel's
+# outputs (ops/flash_attention.py) — save both to keep the Pallas forward
+# out of the backward's remat bill
 
 
 def _resolve_remat_policy(name: Optional[str]):

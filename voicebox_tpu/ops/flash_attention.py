@@ -432,6 +432,14 @@ def _flash_fwd(q, k, v, mask, scale, block_q, block_k):
         scale = q.shape[-1] ** -0.5
     out, lse = _flash_forward(q, k, v, mask, scale, block_q, block_k,
                               return_lse=True)
+    # remat tags: saving BOTH kernel outputs ('dots+attn_out+attn_lse'
+    # policy) makes the backward's recompute of this pallas_call dead code —
+    # without them a jax.checkpoint policy has no name for a pallas output
+    # and the forward kernel re-runs inside the backward (measured: the
+    # difference between flash losing and winning at dim 1024, see
+    # PERFORMANCE.md)
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
     return out, (q, k, v, mask, out, lse)
 
 

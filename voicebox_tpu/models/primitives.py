@@ -41,7 +41,9 @@ def _l2norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     all-zero row (e.g. a lane-alignment pad frame through a zero-init bias)
     would poison the whole backward pass with NaNs."""
     sumsq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    return x / jnp.sqrt(jnp.maximum(sumsq, eps * eps))
+    # rsqrt + multiply, not divide-by-sqrt: one rsqrt per ROW plus cheap
+    # per-element multiplies instead of a multi-cycle VPU divide per element
+    return x * jax.lax.rsqrt(jnp.maximum(sumsq, eps * eps))
 
 
 class LearnedSinusoidalPosEmb(nn.Module):

@@ -267,12 +267,16 @@ class VoiceBoxTrainer:
                 f"batch_size {micro_bs} must divide the data-parallel axis {n_data}"
             )
         self._multihost = jax.process_count() > 1 and mesh is not None
+        # Multi-host sequence parallelism: a host's devices own SEQ slices of
+        # batch rows that may live in another host's data shard, so row-
+        # sharded loading cannot feed them. Instead every process decodes the
+        # FULL global batch (same seed -> identical batches) and each device
+        # pulls its (row, seq-slice) tile from it in _put_global. The decode
+        # is duplicated per process — the declared cost of multi-host SP
+        # (PARITY.md limitations).
+        self._mh_full_batch = self._multihost and self.seq_parallel > 1
         shard = None
-        if self._multihost:
-            assert self.seq_parallel <= 1, (
-                "multi-host sequence parallelism needs seq-sharded host "
-                "loading, which is not implemented — shard only over 'data'"
-            )
+        if self._multihost and not self._mh_full_batch:
             world = jax.process_count()
             assert micro_bs % world == 0, (
                 f"batch_size {micro_bs} must divide over {world} processes"
@@ -466,12 +470,20 @@ class VoiceBoxTrainer:
         return x, mask, cond_ids
 
     def _put_global(self, local, sharding):
-        """Single-host: a plain sharded device_put. Multi-host: `local` holds
-        only this process's rows (the sharded DataLoader decoded just those);
-        assemble the global jax.Array from the per-process pieces."""
+        """Single-host: a plain sharded device_put. Multi-host over 'data'
+        only: `local` holds only this process's rows (the sharded DataLoader
+        decoded just those); assemble the global jax.Array from the
+        per-process pieces. Multi-host sequence parallelism: `local` IS the
+        full global batch (same-seeded full decode on every process, see
+        __init__) and each addressable device pulls its (row, seq) tile."""
         if not self._multihost:
             return jax.device_put(local, sharding)
-        return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+        arr = np.asarray(local)
+        if self._mh_full_batch:
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.make_array_from_process_local_data(sharding, arr)
 
     # ------------------------------------------------------------------
     # checkpointing (flax msgpack; keys mirror the reference pkg)

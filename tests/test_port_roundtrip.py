@@ -703,3 +703,170 @@ class TestHubertFullRoundtrip:
                                heads=self.HEADS)
         with pytest.raises(AssertionError, match="refusing a partial port"):
             load_hubert_torch(path, w2v.params)
+
+
+# ---------------------------------------------------------------------------
+# HuBERT/wav2vec2 LARGE layout: stable layer norm (pre-norm blocks + end LN)
+# + per-conv-layer LayerNorm extractor with conv biases
+# ---------------------------------------------------------------------------
+
+
+class _TW2VStableLayer(_TW2VEncoderLayer):
+    def forward(self, x):
+        b, n, d = x.shape
+        h, hd = self.heads, d // self.heads
+        res = x
+        x = self.layer_norm(x)
+        q = (self.attention.q_proj(x) * hd ** -0.5).view(b, n, h, hd).transpose(1, 2)
+        k = self.attention.k_proj(x).view(b, n, h, hd).transpose(1, 2)
+        v = self.attention.v_proj(x).view(b, n, h, hd).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-1, -2), dim=-1) @ v
+        x = res + self.attention.out_proj(attn.transpose(1, 2).reshape(b, n, d))
+        return x + self.feed_forward.output_dense(
+            F.gelu(self.feed_forward.intermediate_dense(self.final_layer_norm(x)))
+        )
+
+
+class _TW2VLarge(tnn.Module):
+    """transformers Wav2Vec2ForPreTraining large layout: layer-mode extractor
+    (biased convs + per-layer LN) + StableLayerNorm encoder (pre-norm blocks,
+    end LayerNorm)."""
+
+    def __init__(self, c, dim, heads, ff, depth, kernels, strides,
+                 pos_kernel, pos_groups):
+        super().__init__()
+
+        class ConvLayer(tnn.Module):
+            def __init__(self, cin):
+                super().__init__()
+                self.conv = None  # set below (needs k, s)
+                self.layer_norm = tnn.LayerNorm(c)
+                tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+                tnn.init.normal_(self.layer_norm.bias, std=0.1)
+
+        class FE(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                layers = []
+                for i, (k, s) in enumerate(zip(kernels, strides)):
+                    layer = ConvLayer(1 if i == 0 else c)
+                    layer.conv = tnn.Conv1d(1 if i == 0 else c, c, k,
+                                            stride=s, bias=True)
+                    layers.append(layer)
+                self.conv_layers = tnn.ModuleList(layers)
+
+        class FP(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layer_norm = tnn.LayerNorm(c)
+                self.projection = tnn.Linear(c, dim)
+                tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+
+        class PosConv(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                conv = tnn.Conv1d(dim, dim, pos_kernel,
+                                  padding=pos_kernel // 2, groups=pos_groups)
+                self.conv = tnn.utils.weight_norm(conv, name="weight", dim=2)
+                self.k = pos_kernel
+
+            def forward(self, x):
+                x = self.conv(x.transpose(1, 2))
+                if self.k % 2 == 0:
+                    x = x[:, :, :-1]
+                return F.gelu(x).transpose(1, 2)
+
+        class Enc(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_conv_embed = PosConv()
+                self.layer_norm = tnn.LayerNorm(dim)
+                self.layers = tnn.ModuleList(
+                    [_TW2VStableLayer(dim, heads, ff) for _ in range(depth)]
+                )
+                tnn.init.normal_(self.layer_norm.weight, mean=1.0, std=0.1)
+
+            def forward(self, x, n_layers=None):
+                x = x + self.pos_conv_embed(x)
+                layers = self.layers if n_layers is None else self.layers[:n_layers]
+                for layer in layers:
+                    x = layer(x)
+                if n_layers is None:  # fairseq skips the end LN when truncated
+                    x = self.layer_norm(x)
+                return x
+
+        self.feature_extractor = FE()
+        self.feature_projection = FP()
+        self.encoder = Enc()
+
+    def forward(self, wav, n_layers=None):
+        x = wav[:, None, :]
+        for layer in self.feature_extractor.conv_layers:
+            x = layer.conv(x)
+            x = layer.layer_norm(x.transpose(1, 2)).transpose(1, 2)
+            x = F.gelu(x)
+        x = x.transpose(1, 2)
+        x = self.feature_projection.projection(self.feature_projection.layer_norm(x))
+        return self.encoder(x, n_layers=n_layers)
+
+
+class TestHubertLargeRoundtrip:
+    C, DIM, HEADS, FF, DEPTH = 8, 16, 4, 40, 3
+    KERNELS = (10, 3, 3, 3, 3, 2, 2)
+    STRIDES = (5, 2, 2, 2, 2, 2, 2)
+    POS_KERNEL, POS_GROUPS = 16, 4
+
+    def _build(self, tmp_path, output_layer=None):
+        from voicebox_tpu.models.hubert import (
+            HubertFeatureExtractor,
+            HubertWithKmeans,
+        )
+        from voicebox_tpu.utils.port_weights import load_hubert_torch
+
+        torch.manual_seed(21)
+        tm = _TW2VLarge(self.C, self.DIM, self.HEADS, self.FF, self.DEPTH,
+                        self.KERNELS, self.STRIDES, self.POS_KERNEL,
+                        self.POS_GROUPS).eval()
+        path = str(tmp_path / "hubert_large.pt")
+        torch.save(tm.state_dict(), path)
+
+        w2v = HubertWithKmeans(
+            num_clusters=7, dim=self.DIM, depth=self.DEPTH, heads=self.HEADS,
+            ff_dim=self.FF, conv_pos_kernel=self.POS_KERNEL,
+            conv_pos_groups=self.POS_GROUPS, layer_norm_first=True,
+            extractor_norm_mode="layer", output_layer=output_layer,
+        )
+        w2v.feature_extractor = HubertFeatureExtractor(conv_dim=self.C,
+                                                       norm_mode="layer")
+        import jax.numpy as _jnp
+
+        w2v.params["feature_extractor"] = w2v.feature_extractor.init(
+            jax.random.PRNGKey(0), _jnp.zeros((1, 1280))
+        )["params"]
+        w2v.params["proj_norm"] = {"scale": _jnp.ones((self.C,)),
+                                   "bias": _jnp.zeros((self.C,))}
+        w2v.params["proj"] = {"kernel": _jnp.zeros((self.C, self.DIM)),
+                              "bias": _jnp.zeros((self.DIM,))}
+        w2v.params = load_hubert_torch(path, w2v.params)
+        return tm, w2v
+
+    def test_full_forward_parity(self, tmp_path):
+        tm, w2v = self._build(tmp_path)
+        rs = np.random.RandomState(17)
+        wav = (rs.randn(2, 3200) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(wav))
+        out_j = w2v.features(jnp.asarray(wav))
+        assert out_j.shape == tuple(out_t.shape)
+        np.testing.assert_allclose(_np(out_j), out_t.numpy(), atol=ATOL)
+
+    def test_output_layer_skips_end_norm(self, tmp_path):
+        """Truncated large-model features are the RAW residual stream after
+        block k — no end LayerNorm (fairseq extract_features semantics)."""
+        tm, w2v = self._build(tmp_path, output_layer=2)
+        rs = np.random.RandomState(18)
+        wav = (rs.randn(1, 3200) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(wav), n_layers=2)
+        np.testing.assert_allclose(_np(w2v.features(jnp.asarray(wav))),
+                                   out_t.numpy(), atol=ATOL)

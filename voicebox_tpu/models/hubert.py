@@ -48,23 +48,34 @@ __all__ = [
 
 
 class HubertFeatureExtractor(nn.Module):
-    """7 strided conv layers, total downsample 5*2*2*2*2*2*2 = 320."""
+    """7 strided conv layers, total downsample 5*2*2*2*2*2*2 = 320.
+
+    `norm_mode="group"` (base models): bias-less convs, group norm after
+    layer 0 only. `norm_mode="layer"` (large models,
+    feat_extract_norm="layer"): biased convs, a channel LayerNorm after
+    EVERY conv."""
 
     conv_dim: int = 512
     kernels: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
     strides: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    norm_mode: str = "group"  # "group" | "layer"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
+        assert self.norm_mode in ("group", "layer")
         # (b, n) -> (b, n/320, conv_dim)
         x = wav[..., None]
         for i, (k, s) in enumerate(zip(self.kernels, self.strides)):
             x = nn.Conv(
                 self.conv_dim, kernel_size=(k,), strides=(s,), padding="VALID",
-                use_bias=False, dtype=self.dtype, name=f"conv_{i}",
+                use_bias=(self.norm_mode == "layer"), dtype=self.dtype,
+                name=f"conv_{i}",
             )(x)
-            if i == 0:
+            if self.norm_mode == "layer":
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name=f"layer_norm_{i}")(x)
+            elif i == 0:
                 x = nn.GroupNorm(num_groups=self.conv_dim, epsilon=1e-5, dtype=self.dtype,
                                  name="group_norm")(x)
             x = nn.gelu(x, approximate=False)  # exact GELU (torch default)
@@ -83,13 +94,16 @@ class HubertEncoderLayer(nn.Module):
     dim: int = 768
     heads: int = 12
     ff_dim: int = 3072
+    # False (base): post-norm — attn, +res, LN, ff, +res, LN.
+    # True (large, do_stable_layer_norm / layer_norm_first): pre-norm —
+    # x + attn(LN(x)), x + ff(LN(x)); the encoder applies one final LN at
+    # the very end instead.
+    pre_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    def _attend(self, x, mask):
         h = self.heads
         d = self.dim // h
-        res = x
         # scaling applied to the PROJECTED q (incl. bias), matching torch MHA
         q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x) * (d ** -0.5)
         k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(x)
@@ -106,12 +120,24 @@ class HubertEncoderLayer(nn.Module):
             )
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, self.dim)
-        x = res + nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_norm")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
+
+    def _ff(self, x):
         ff = nn.Dense(self.ff_dim, dtype=self.dtype, name="fc1")(x)
         ff = nn.gelu(ff, approximate=False)
-        x = x + nn.Dense(self.dim, dtype=self.dtype, name="fc2")(ff)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(ff)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        attn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="attn_norm")
+        final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="final_norm")
+        if self.pre_norm:
+            x = x + self._attend(attn_norm(x), mask)
+            return x + self._ff(final_norm(x))
+        x = attn_norm(x + self._attend(x, mask))
+        return final_norm(x + self._ff(x))
 
 
 class HubertEncoder(nn.Module):
@@ -129,6 +155,13 @@ class HubertEncoder(nn.Module):
     ff_dim: Optional[int] = None  # default 4*dim (3072 at base scale)
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
+    # base (False): LayerNorm after the pos conv, post-norm blocks.
+    # large (True, do_stable_layer_norm / layer_norm_first): pre-norm blocks
+    # with ONE LayerNorm at the very end — skipped under `output_layer`
+    # truncation (fairseq extract_features returns the raw residual stream
+    # after block k), controlled by `apply_final_norm`.
+    layer_norm_first: bool = False
+    apply_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,14 +179,20 @@ class HubertEncoder(nn.Module):
         if self.conv_pos_kernel % 2 == 0:
             pos = pos[:, :-1]
         x = x + nn.gelu(pos, approximate=False)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(x)
+        outer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="pre_norm")
+        if not self.layer_norm_first:
+            x = outer_norm(x)
 
         ff_dim = self.ff_dim if self.ff_dim is not None else 4 * self.dim
         for i in range(self.depth):
             x = HubertEncoderLayer(
                 dim=self.dim, heads=self.heads, ff_dim=ff_dim,
+                pre_norm=self.layer_norm_first,
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, mask=mask)
+        if self.layer_norm_first and self.apply_final_norm:
+            x = outer_norm(x)
         return x
 
 
@@ -185,6 +224,11 @@ class HubertWithKmeans:
         ff_dim: Optional[int] = None,
         conv_pos_kernel: int = 128,
         conv_pos_groups: int = 16,
+        # large-model (hubert-large / wav2vec2-large) layout switches:
+        # pre-norm blocks + end LayerNorm, and per-conv-layer LayerNorm
+        # extractor with conv biases (feat_extract_norm="layer")
+        layer_norm_first: bool = False,
+        extractor_norm_mode: str = "group",
         output_layer: Optional[int] = None,
         params: Optional[Any] = None,
         seed: int = 0,
@@ -199,10 +243,16 @@ class HubertWithKmeans:
                 f"output_layer {output_layer} outside [1, depth={depth}]"
             )
             depth = output_layer
-        self.feature_extractor = HubertFeatureExtractor()
+        self.feature_extractor = HubertFeatureExtractor(
+            norm_mode=extractor_norm_mode
+        )
         self.encoder = HubertEncoder(
             dim=dim, depth=depth, heads=heads, ff_dim=ff_dim,
             conv_pos_kernel=conv_pos_kernel, conv_pos_groups=conv_pos_groups,
+            layer_norm_first=layer_norm_first,
+            # fairseq extract_features(output_layer=k) returns the raw
+            # residual stream after block k, skipping the end LayerNorm
+            apply_final_norm=(output_layer is None),
         )
 
         if params is None:

@@ -114,6 +114,15 @@ class TTSEngine:
 
     # ------------------------------------------------------------------
 
+    @property
+    def _outputs_audio(self) -> bool:
+        """True when outputs are decoded waveforms (time = LAST axis). A
+        codec-less wrapper returns latents (time = axis 1) even when
+        decode_to_audio=True — trimming/stacking must follow the ACTUAL
+        output layout, not the flag."""
+        return (self.decode_to_audio
+                and self.wrapper.voicebox.audio_enc_dec is not None)
+
     def _tokenizer(self):
         if self.mode == "semantic":
             return self.wrapper.text_to_semantic.tokenizer
@@ -225,19 +234,19 @@ class TTSEngine:
             chunks = list(self._stream_long(
                 ids_all[row : row + 1, : int(valid[row])], rng=row_rng
             ))
-            time_axis = -1 if self.decode_to_audio else 1
+            time_axis = -1 if self._outputs_audio else 1
             full = np.concatenate([np.asarray(c) for c in chunks],
                                   axis=time_axis)
             results[row] = (full, full.shape[time_axis])
 
         ordered = [results[i] for i in range(len(texts))]
         if trim:
-            if self.decode_to_audio:  # audio: time is the LAST axis
+            if self._outputs_audio:  # audio: time is the LAST axis
                 return [o[0][..., :n] for o, n in ordered]
             # latents (n, d) / codes (n, q): time is the leading axis
             return [o[0][:n] for o, n in ordered]
         # stack on a common horizon (zero-pad long/short mixes)
-        time_axis = (ordered[0][0].ndim - 1) if self.decode_to_audio else 1
+        time_axis = (ordered[0][0].ndim - 1) if self._outputs_audio else 1
         horizon = max(o.shape[time_axis] for o, _ in ordered)
         stacked = []
         for o, _ in ordered:
@@ -357,7 +366,7 @@ class TTSEngine:
                 axis=1,
             )
         codec = self.wrapper.voicebox.audio_enc_dec
-        as_audio = self.decode_to_audio and codec is not None
+        as_audio = self._outputs_audio
         budget = exact * codec.downsample_factor if as_audio else exact
         time_axis = -1 if as_audio else 1
         for chunk in self.wrapper.sample_long_stream(

@@ -336,17 +336,37 @@ def load_hubert_torch(path: str, template_params):
             p["feature_extractor"][f"conv_{i}"]["kernel"] = jnp.asarray(
                 torch_conv1d_to_flax(sd[key])
             )
-    # layer-0 group norm (feat_extract_norm="group" in hubert-base);
-    # fairseq puts it at conv_layers.0.2 (Sequential index)
-    gn = first_key(
-        *variants("feature_extractor.conv_layers.0.layer_norm.weight"),
-        "feature_extractor.conv_layers.0.2.weight",
-    )
-    if gn is not None:
-        p["feature_extractor"]["group_norm"]["scale"] = jnp.asarray(sd[gn])
-        p["feature_extractor"]["group_norm"]["bias"] = jnp.asarray(
-            sd[gn.replace(".weight", ".bias")]
+            bias = sd.get(key.replace(".weight", ".bias"))
+            if bias is not None and "bias" in p["feature_extractor"][f"conv_{i}"]:
+                p["feature_extractor"][f"conv_{i}"]["bias"] = jnp.asarray(bias)
+    if any(k.startswith("layer_norm_") for k in p["feature_extractor"]):
+        # feat_extract_norm="layer" (large models): a LayerNorm after EVERY
+        # conv — transformers reuses the `layer_norm` attribute name, fairseq
+        # nests it at Sequential index 2.1
+        for i in range(7):
+            if f"layer_norm_{i}" not in p["feature_extractor"]:
+                continue
+            ln = first_key(
+                *variants(f"feature_extractor.conv_layers.{i}.layer_norm.weight"),
+                f"feature_extractor.conv_layers.{i}.2.1.weight",
+            )
+            if ln is not None:
+                p["feature_extractor"][f"layer_norm_{i}"]["scale"] = jnp.asarray(sd[ln])
+                p["feature_extractor"][f"layer_norm_{i}"]["bias"] = jnp.asarray(
+                    sd[ln.replace(".weight", ".bias")]
+                )
+    else:
+        # layer-0 group norm (feat_extract_norm="group" in hubert-base);
+        # fairseq puts it at conv_layers.0.2 (Sequential index)
+        gn = first_key(
+            *variants("feature_extractor.conv_layers.0.layer_norm.weight"),
+            "feature_extractor.conv_layers.0.2.weight",
         )
+        if gn is not None:
+            p["feature_extractor"]["group_norm"]["scale"] = jnp.asarray(sd[gn])
+            p["feature_extractor"]["group_norm"]["bias"] = jnp.asarray(
+                sd[gn.replace(".weight", ".bias")]
+            )
 
     # --- feature projection: LayerNorm + Linear ---------------------------
     pn = first_key(*variants("feature_projection.layer_norm.weight"),
@@ -406,7 +426,9 @@ def load_hubert_torch(path: str, template_params):
         put(enc["pos_conv"], "bias", sd[f"{pos_prefix}.bias"])
 
     ln = first_key(*variants("encoder.layer_norm.weight"))
-    if ln is not None:
+    # absent from the template when a truncated stable-layer-norm encoder
+    # never applies its end LayerNorm (output_layer semantics)
+    if ln is not None and "pre_norm" in enc:
         set_ln(enc["pre_norm"], ln[: -len(".weight")])
 
     n_layers = sum(1 for k in enc if k.startswith("layer_"))

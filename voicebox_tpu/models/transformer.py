@@ -287,6 +287,12 @@ class Transformer(nn.Module):
     seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
+    def __post_init__(self):
+        super().__post_init__()
+        # reference asserts at construction (voicebox_pytorch.py:375); the
+        # U-Net push/pop skip symmetry needs an even block count
+        assert self.depth % 2 == 0, "depth must be even (U-Net skip symmetry)"
+
     @property
     def _resolved_flash(self) -> Optional[bool]:
         """`attn_flash` (reference kwarg name) wins when set; both None keeps

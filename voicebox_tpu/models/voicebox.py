@@ -82,6 +82,16 @@ class VoiceBox(nn.Module):
     seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
+    def __post_init__(self):
+        super().__post_init__()
+        # construction-time checks, matching the reference's __init__-time
+        # asserts (voicebox_pytorch.py:375 via Transformer, :931 cond tokens)
+        assert self.depth % 2 == 0, "depth must be even (U-Net skip symmetry)"
+        if self.condition_on_text:
+            assert self.num_cond_tokens is not None, (
+                "num_cond_tokens must be set when condition_on_text=True"
+            )
+
     @property
     def latent_dim(self) -> int:
         if self.audio_enc_dec is not None:

@@ -451,3 +451,124 @@ class TestPrefetchLoader:
         got = [next(it) for _ in range(7)]
         assert got == [1, 2, 3, 1, 2, 3, 1]
         it.close()
+
+
+class TestClipF32:
+    """clip_by_global_norm_f32: optax-exact on f32 trees; norm accumulated in
+    f32 and output dtype preserved on bf16 trees."""
+
+    def _tree(self, dtype, scale=1.0):
+        r = np.random.RandomState(0)
+        return {
+            "a": jnp.asarray(scale * r.randn(64, 64), dtype),
+            "b": jnp.asarray(scale * r.randn(256), dtype),
+        }
+
+    @pytest.mark.parametrize("scale", [0.01, 10.0])  # under / over the limit
+    def test_matches_optax_on_f32(self, scale):
+        from voicebox_tpu.training.optimizer import clip_by_global_norm_f32
+
+        grads = self._tree(jnp.float32, scale)
+        ours, _ = clip_by_global_norm_f32(0.5).update(grads, optax.EmptyState())
+        ref, _ = optax.clip_by_global_norm(0.5).update(
+            grads, optax.clip_by_global_norm(0.5).init(grads)
+        )
+        for o, r in zip(jax.tree.leaves(ours), jax.tree.leaves(ref)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-6)
+
+    def test_bf16_tree_keeps_dtype_and_uses_f32_norm(self):
+        from voicebox_tpu.training.optimizer import clip_by_global_norm_f32
+
+        grads = self._tree(jnp.bfloat16, 10.0)
+        out, _ = clip_by_global_norm_f32(0.5).update(grads, optax.EmptyState())
+        for o in jax.tree.leaves(out):
+            assert o.dtype == jnp.bfloat16  # the bf16 stream stays bf16
+        # clipped tree's f32 norm lands at the limit
+        gnorm = float(jnp.sqrt(sum(
+            jnp.sum(jnp.square(o.astype(jnp.float32)))
+            for o in jax.tree.leaves(out)
+        )))
+        assert abs(gnorm - 0.5) < 0.02  # bf16 rounding of the scaled leaves
+
+
+class TestMixedPrecisionParams:
+    """param_dtype=bfloat16: bf16 live tree + f32 master (the TPU
+    mixed-precision recipe; PERFORMANCE.md measures it at dim 1024)."""
+
+    def _trainer(self, tmp_path, rng, **kw):
+        cfm = _make_cfm(rng)
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(16, 32).astype(np.float32)
+             for i in range(16)]
+        )
+        return VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=3,
+            valid_frac=0.25, results_folder=str(tmp_path / "results"),
+            save_model_every=100, save_results_every=100,
+            bucket_multiple=16, use_mesh=False,
+            param_dtype=jnp.bfloat16, **kw,
+        )
+
+    def test_master_f32_live_bf16(self, tmp_path, rng):
+        tr = self._trainer(tmp_path, rng)
+        logs = tr.train_step()
+        assert np.isfinite(np.asarray(logs["loss"]))
+        for p in jax.tree.leaves(tr.params):
+            assert p.dtype == jnp.float32  # master stays f32
+        for p in jax.tree.leaves(tr._live):
+            assert p.dtype == jnp.bfloat16
+        # live tree is exactly the cast master (same program produced both)
+        for m, l in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr._live)):
+            np.testing.assert_array_equal(
+                np.asarray(m, dtype=jnp.bfloat16), np.asarray(l)
+            )
+
+    def test_first_step_matches_f32_trainer_closely(self, tmp_path, rng):
+        # same data/rng: the ONLY difference is bf16 rounding of the live
+        # params the gradients are taken at -> the post-step masters must
+        # agree to bf16-level tolerance
+        tr_mp = self._trainer(tmp_path / "mp", rng)
+        cfm = _make_cfm(rng)  # fresh identical params (same rng)
+        ds = ArrayDataset(
+            [np.random.RandomState(i).randn(16, 32).astype(np.float32)
+             for i in range(16)]
+        )
+        tr_f32 = VoiceBoxTrainer(
+            cfm, batch_size=4, dataset=ds, num_train_steps=3,
+            valid_frac=0.25, results_folder=str(tmp_path / "f32"),
+            save_model_every=100, save_results_every=100,
+            bucket_multiple=16, use_mesh=False,
+        )
+        tr_mp.train_step()
+        tr_f32.train_step()
+        a = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(tr_mp.params)])
+        b = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(tr_f32.params)])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert rel < 5e-2, rel
+
+    def test_training_converges(self, tmp_path, rng):
+        tr = self._trainer(tmp_path, rng)
+        tr.train()
+        assert tr.steps == 3
+        assert np.isfinite(np.asarray(jax.tree.leaves(tr.params)[0])).all()
+
+    def test_grad_accum_uses_f32_accumulator(self, tmp_path, rng):
+        tr = self._trainer(tmp_path, rng, grad_accum_every=2)
+        logs = tr.train_step()
+        assert np.isfinite(np.asarray(logs["loss"]))
+
+    def test_checkpoint_roundtrip_restores_live(self, tmp_path, rng):
+        tr = self._trainer(tmp_path, rng)
+        tr.train_step()
+        path = tmp_path / "results" / "ckpt.msgpack"
+        tr.save(path)
+        tr2 = self._trainer(tmp_path, jax.random.PRNGKey(99))
+        tr2.load(path)
+        for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(tr._live), jax.tree.leaves(tr2._live)):
+            assert b.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -56,6 +56,9 @@ class TrainConfig:
     # "bfloat16" stores Adam moments at reduced precision (string so the
     # config stays JSON-round-trippable; see training/optimizer.py)
     moment_dtype: Optional[str] = None
+    # "bfloat16" stores the LIVE params at reduced precision with an f32
+    # master copy (mixed-precision training; see trainer param_dtype)
+    param_dtype: Optional[str] = None
     # e.g. 0.999 tracks an EMA of the params for sampling
     # (trainer.generate(use_ema=True)); ema_dtype "bfloat16" halves its
     # HBM traffic
@@ -87,7 +90,7 @@ class TrainConfig:
         kwargs = self.to_dict()
         mesh_cfg = kwargs.pop("mesh")
         kwargs.update(overrides)
-        for key in ("moment_dtype", "ema_dtype"):
+        for key in ("moment_dtype", "ema_dtype", "param_dtype"):
             if isinstance(kwargs.get(key), str):
                 import jax.numpy as jnp
 

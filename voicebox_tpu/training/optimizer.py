@@ -19,7 +19,42 @@ __all__ = [
     "warmup_cosine_schedule",
     "track_params_ema",
     "ema_params_from_state",
+    "clip_by_global_norm_f32",
 ]
+
+
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """`optax.clip_by_global_norm` with the norm ACCUMULATED IN F32.
+
+    Identical math for f32 gradient trees (tested vs optax), but required for
+    bf16 gradients (the `param_dtype=bfloat16` mixed-precision trainer):
+    optax's `global_norm` sums squares in the leaf dtype, and a bf16
+    accumulator over ~1e8 squared terms drops small terms once the running
+    sum grows — the clip would act on a wrong norm. Scaled gradients KEEP
+    their input dtype (an f32 upcast here would silently re-widen the bf16
+    gradient stream the mixed-precision scheme exists to shrink)."""
+    import jax.numpy as jnp
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(jnp.square(u.astype(jnp.float32)))
+                for u in jax.tree.leaves(updates))
+        )
+        # optax semantics: scale only when over the limit
+        scale = jnp.where(
+            gnorm < max_norm, 1.0, max_norm / jnp.maximum(gnorm, 1e-16)
+        )
+        updates = jax.tree.map(
+            lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def decay_mask(params):
@@ -196,8 +231,9 @@ def get_optimizer(
         opt = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
 
     if max_grad_norm is not None:
-        # reference clips the global norm before the step (trainer.py:274-275)
-        opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+        # reference clips the global norm before the step (trainer.py:274-275).
+        # f32-accumulated norm: exact for f32 grads, correct for bf16 grads
+        opt = optax.chain(clip_by_global_norm_f32(max_grad_norm), opt)
     if ema_decay is not None:
         # LAST stage: sees the final updates, so params + updates is the
         # post-step value the EMA must track

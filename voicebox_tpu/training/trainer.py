@@ -68,6 +68,17 @@ class VoiceBoxTrainer:
         # e.g. jnp.bfloat16: store Adam moments at reduced precision (HBM-
         # bandwidth lever; see training/optimizer.py). None = f32 (reference)
         moment_dtype=None,
+        # e.g. jnp.bfloat16: mixed-precision parameter storage — the LIVE
+        # param tree fwd/bwd read is stored at this dtype while an f32 MASTER
+        # copy receives the optimizer updates (the standard TPU bf16-master
+        # recipe). Gradients then flow in bf16 too (grad dtype follows the
+        # primal), halving the weight-read, dgrad-read, and gradient
+        # write+read HBM streams — measured at the dim-1024 reference scale
+        # (PERFORMANCE.md). Checkpoints store the f32 master; sampling/eval
+        # use it too. None = f32 params (reference parity). The global-norm
+        # clip accumulates in f32 either way (optimizer.py::
+        # clip_by_global_norm_f32).
+        param_dtype=None,
         # e.g. 0.999: track an EMA of the params inside the optimizer chain
         # (sample from it via generate(use_ema=True) / .ema_params). Beyond
         # parity — the reference trains without EMA; off by default.
@@ -233,6 +244,19 @@ class VoiceBoxTrainer:
         else:
             self.opt_state = self.optimizer.init(self.params)
 
+        # mixed-precision parameter storage: self.params stays the f32
+        # MASTER (canonical for checkpoints/eval/sampling); self._live is
+        # the reduced-precision tree the jitted step reads and rewrites
+        self._param_dtype = param_dtype
+        if param_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda p: p.astype(param_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, t
+            )
+            self._live = jax.jit(cast)(self.params)
+        else:
+            self._live = None
+
         # register-aware bucket grid: keep (frames + register tokens) on the
         # 128 lane boundary — a 128-aligned *data* length plus registers lands
         # on a misaligned tile that XLA pads 13% wider (see data.py). For raw-
@@ -384,11 +408,15 @@ class VoiceBoxTrainer:
         loss_fn = self._loss  # shared with _valid_loss (one SP clone/shard_map)
         opt = self.optimizer
         accum = self.grad_accum_every
+        param_dtype = self._param_dtype
 
-        def train_step(params, opt_state, batch, mask, cond_ids, rng):
+        def accum_grads(params, batch, mask, cond_ids, rng):
             # batch: (accum, micro_bs, n, d); mask: (accum, micro_bs, n);
-            # cond_ids: (accum, micro_bs, n_cond) int or None
+            # cond_ids: (accum, micro_bs, n_cond) int or None.
+            # With accum > 1 the accumulator is ALWAYS f32: summing many
+            # bf16 micro-gradients in bf16 would drop small contributions.
             keys = jax.random.split(rng, accum)
+            acc_dtype = jnp.float32 if accum > 1 else None
 
             def micro_step(carry, inp):
                 grads_acc, loss_acc = carry
@@ -396,21 +424,43 @@ class VoiceBoxTrainer:
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, x, key, mask=m, cond_token_ids=ids
                 )
+                if acc_dtype is not None:
+                    grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, acc_dtype or p.dtype), params
+            )
             (grads, loss_sum), _ = jax.lax.scan(
                 micro_step, (zero_grads, 0.0), (batch, mask, cond_ids, keys)
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
-            loss = loss_sum / accum
+            return grads, loss_sum / accum
 
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        if param_dtype is None:
+            def train_step(params, opt_state, batch, mask, cond_ids, rng):
+                grads, loss = accum_grads(params, batch, mask, cond_ids, rng)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+            return jax.jit(train_step, donate_argnums=(0, 1))
+
+        def mixed_step(live, master, opt_state, batch, mask, cond_ids, rng):
+            # fwd/bwd read the reduced-precision live tree (grads inherit its
+            # dtype); the update lands on the f32 master, which is recast to
+            # the next step's live tree inside the same program
+            grads, loss = accum_grads(live, batch, mask, cond_ids, rng)
+            updates, opt_state = opt.update(grads, opt_state, master)
+            master = optax.apply_updates(master, updates)
+            live = jax.tree.map(
+                lambda p: p.astype(param_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, master
+            )
+            return live, master, opt_state, loss
+
+        return jax.jit(mixed_step, donate_argnums=(0, 1, 2))
 
     def _prepare_batch(self, wave: np.ndarray, mask: np.ndarray,
                        flat: bool = False):
@@ -505,6 +555,13 @@ class VoiceBoxTrainer:
             # opt_state leaves are uncommitted host arrays after restore; the
             # first jitted step re-lays them out to follow the param shardings
         self.cfm_wrapper.params = self.params
+        if self._param_dtype is not None:
+            # rebuild the live tree from the restored f32 master
+            dt = self._param_dtype
+            self._live = jax.jit(lambda t: jax.tree.map(
+                lambda p: p.astype(dt)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, t
+            ))(self.params)
         # steps is stored in the checkpoint itself — not regexed from the
         # filename like the reference (trainer.py:47-58)
         self.steps = steps
@@ -543,9 +600,15 @@ class VoiceBoxTrainer:
         wave, mask = next(self.dl_iter)
         x, m, cond_ids = self._prepare_batch(wave, mask)
 
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, x, m, cond_ids, self._next_rng()
-        )
+        if self._param_dtype is not None:
+            self._live, self.params, self.opt_state, loss = self._train_step(
+                self._live, self.params, self.opt_state, x, m, cond_ids,
+                self._next_rng(),
+            )
+        else:
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, x, m, cond_ids, self._next_rng()
+            )
         # keep the loss ON DEVICE: a float() fetch every step forces a
         # device->host sync that serialises the dispatch pipeline (tens of ms
         # per step on a remote/tunneled backend). Losses buffer as device

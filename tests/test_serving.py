@@ -248,3 +248,211 @@ class TestSampleLengths:
         b = cfm.sample(texts=["longer text"], steps=2, frame_length=32,
                        decode_to_audio=False)
         assert a.shape == b.shape == (1, 32, 32)
+
+
+class TestDynamicBatcher:
+    """Request-level dynamic batching: concurrent single requests coalesce
+    into the engine's pre-compiled bucket batches."""
+
+    def _batcher(self, engine, **kw):
+        from voicebox_tpu.serving import DynamicBatcher
+
+        return DynamicBatcher(engine, **kw)
+
+    def test_submit_resolves(self, engine):
+        engine.warmup()
+        with self._batcher(engine, max_wait_ms=1.0) as b:
+            futs = [b.submit(t) for t in ["hi", "hello", "hey"]]
+            clips = [f.result(timeout=120) for f in futs]
+        assert len(clips) == 3
+        for c in clips:
+            assert np.isfinite(np.asarray(c)).all()
+            assert c.shape[0] > 0  # latents: time leading
+        assert b.stats["requests"] == 3
+
+    def test_coalesces_into_one_batch(self, engine):
+        # enqueue BEFORE starting the worker: deterministic coalescing on a
+        # one-core box (no timing races)
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=50.0, autostart=False)
+        futs = [b.submit(t) for t in ["a", "bb"]]  # both land in bucket 8
+        b.start()
+        for f in futs:
+            f.result(timeout=120)
+        b.close()
+        assert b.stats["batches"] == 1  # ONE engine call served both
+        assert b.mean_occupancy == 2.0
+
+    def test_groups_by_text_bucket(self, engine):
+        # bucket-8 and bucket-16 requests must NOT share a program: the
+        # short one would pay the long bucket's compute
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=50.0, autostart=False)
+        futs = [b.submit("hi"), b.submit("twelve chars+")]  # buckets 8, 16
+        b.start()
+        for f in futs:
+            f.result(timeout=120)
+        b.close()
+        assert b.stats["batches"] == 2
+
+    def test_no_recompile_on_batched_path(self, engine):
+        engine.warmup()
+        with self._batcher(engine, max_wait_ms=1.0) as b:
+            b.submit("warm me").result(timeout=120)
+            before = _COMPILES.count
+            futs = [b.submit(t) for t in ["one", "two", "six"]]
+            for f in futs:
+                f.result(timeout=120)
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the batched path"
+        )
+
+    def test_exception_propagates_to_futures(self, engine):
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=1.0)
+        original = engine.synthesize
+        engine.synthesize = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("boom")
+        )
+        try:
+            fut = b.submit("hi")
+            with pytest.raises(RuntimeError, match="boom"):
+                fut.result(timeout=60)
+        finally:
+            engine.synthesize = original
+            b.close()
+
+    def test_close_drains_pending(self, engine):
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=1.0, autostart=False)
+        futs = [b.submit(t) for t in ["x", "y"]]
+        b.start()
+        b.close()  # must serve what was queued before shutting down
+        for f in futs:
+            assert np.isfinite(np.asarray(f.result(timeout=1))).all()
+
+    def test_max_batch_respected(self, engine):
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=50.0, max_batch=2,
+                          autostart=False)
+        futs = [b.submit(t) for t in ["a", "b", "c"]]  # all bucket 8
+        b.start()
+        for f in futs:
+            f.result(timeout=120)
+        b.close()
+        # 3 requests with max_batch 2 -> at least 2 collection cycles
+        assert b.stats["batches"] >= 2
+
+
+class TestCloning:
+    """Engine-level in-context voice cloning (the Voicebox headline
+    capability): prompt length is DATA on the warmed long-form window
+    program, so the request path stays compile-free."""
+
+    TEXT = "hello there how are you doing today my friend"
+
+    def test_latent_prompt_clone(self, engine):
+        engine.warmup()
+        prompt = jnp.asarray(
+            np.random.RandomState(0).randn(1, 5, 32), jnp.float32
+        )
+        p_ids = jnp.zeros((1, 5), dtype=jnp.int32)  # codec-less: ratio 1.0
+        out = engine.clone(self.TEXT, prompt, prompt_ids=p_ids,
+                           rng=jax.random.PRNGKey(0))
+        assert out.ndim == 3 and out.shape[0] == 1 and out.shape[2] == 32
+        assert out.shape[1] > 0  # continuation only (prompt span excluded)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_clone_stream_concat_equals_clone(self, engine):
+        engine.warmup()
+        prompt = jnp.asarray(
+            np.random.RandomState(1).randn(1, 4, 32), jnp.float32
+        )
+        p_ids = jnp.zeros((1, 4), dtype=jnp.int32)
+        one = engine.clone(self.TEXT, prompt, prompt_ids=p_ids,
+                           rng=jax.random.PRNGKey(3))
+        chunks = list(engine.clone_stream(self.TEXT, prompt,
+                                          prompt_ids=p_ids,
+                                          rng=jax.random.PRNGKey(3)))
+        total = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+        np.testing.assert_allclose(np.asarray(one), total, rtol=1e-5)
+
+    def test_prompt_length_is_data_not_shape(self, engine):
+        # different prompt lengths share the warmed window program (numpy
+        # inputs: device arrays of fresh shapes would themselves compile
+        # tiny eager fill programs and pollute the counter)
+        engine.warmup()
+        p_a = np.zeros((1, 3, 32), np.float32)
+        ids_a = np.zeros((1, 3), np.int32)
+        engine.clone(self.TEXT, p_a, prompt_ids=ids_a)  # warm trim paths
+        p_b = np.ones((1, 6, 32), np.float32)
+        ids_b = np.zeros((1, 6), np.int32)
+        before = _COMPILES.count
+        engine.clone(self.TEXT, p_b, prompt_ids=ids_b)
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles for a new prompt length"
+        )
+
+    def test_latent_prompt_requires_ids(self, engine):
+        with pytest.raises(AssertionError, match="prompt_ids"):
+            list(engine.clone_stream("hi", jnp.zeros((1, 4, 32))))
+
+    def test_raw_prompt_requires_codec(self, engine):
+        with pytest.raises(AssertionError, match="audio_enc_dec"):
+            list(engine.clone_stream("hi", jnp.zeros((1, 2400))))
+
+
+@pytest.fixture(scope="module")
+def clone_engine():
+    """Raw-audio cloning engine: MelVoco codec + wav2vec-derived prompt ids."""
+    from voicebox_tpu.models.codec import MelVoco
+    from voicebox_tpu.models.vocos import Vocos
+
+    w2v = HubertWithKmeans(num_clusters=30, dim=32, depth=2, heads=4)
+    tts = TextToSemantic(dim=32, source_depth=2, target_depth=2, heads=4,
+                         dim_head=8, wav2vec=w2v, tokenizer=GraphemeTokenizer())
+    tts.init_params(jax.random.PRNGKey(0))
+    codec = MelVoco(vocos=Vocos(input_channels=100, dim=32,
+                                intermediate_dim=64, num_layers=2))
+    vb = VoiceBox(audio_enc_dec=codec, dim=32, depth=2, dim_head=8, heads=4,
+                  dim_cond_emb=32, num_register_tokens=2,
+                  condition_on_text=True, num_cond_tokens=30)
+    cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts)
+    cfm.init_params(jax.random.PRNGKey(1), seq_len=16, batch=1)
+    return TTSEngine(
+        cfm, text_buckets=(8,), batch_buckets=(1,), steps=2,
+        max_semantic_token_ids=12,
+        long_window_frames=32, long_overlap_frames=8,
+        prompt_seconds_buckets=(0.05, 0.1),
+    )
+
+
+class TestRawAudioCloning:
+    def test_raw_prompt_clone_and_no_recompile(self, clone_engine):
+        clone_engine.warmup()  # includes the prompt-bucket programs
+        sr = clone_engine.wrapper.voicebox.audio_enc_dec.sampling_rate
+        prompt = np.asarray(
+            0.1 * np.sin(np.arange(int(0.08 * sr)) / 20.0), np.float32
+        )[None, :]
+        out = clone_engine.clone("hello there", prompt,
+                                 rng=jax.random.PRNGKey(0))
+        ds = clone_engine.wrapper.voicebox.audio_enc_dec.downsample_factor
+        assert out.ndim == 2 and out.shape[0] == 1
+        assert out.shape[1] > 0 and out.shape[1] % ds == 0
+        assert np.isfinite(np.asarray(out)).all()
+        # second clone, different prompt length in the SAME bucket: no compiles
+        before = _COMPILES.count
+        prompt2 = prompt[:, : int(0.06 * sr)]
+        out2 = clone_engine.clone("hello there", prompt2,
+                                  rng=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out2)).all()
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the cloning path"
+        )
+
+    def test_prompt_over_largest_bucket_raises(self, clone_engine):
+        sr = clone_engine.wrapper.voicebox.audio_enc_dec.sampling_rate
+        with pytest.raises(AssertionError, match="largest prompt bucket"):
+            list(clone_engine.clone_stream(
+                "hi", np.zeros((1, int(0.5 * sr)), np.float32)
+            ))

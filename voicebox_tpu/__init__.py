@@ -52,6 +52,10 @@ def __getattr__(name):
         from .serving import TTSEngine
 
         return TTSEngine
+    if name == "DynamicBatcher":
+        from .serving import DynamicBatcher
+
+        return DynamicBatcher
     if name == "TrainConfig":
         from .training.config import TrainConfig
 

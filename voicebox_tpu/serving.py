@@ -25,14 +25,17 @@ Both reference conditioning pipelines are served
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
+from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TTSEngine"]
+__all__ = ["TTSEngine", "DynamicBatcher"]
 
 
 class TTSEngine:
@@ -72,6 +75,11 @@ class TTSEngine:
         long_window_frames: int = 768,
         long_overlap_frames: int = 128,
         enable_long_form: bool = True,
+        # voice cloning with raw-audio prompts: prompt waveforms are
+        # quantised onto this grid (seconds) so the codec-encode and wav2vec
+        # programs stay static; warmup() pre-compiles them when set. Latent
+        # prompts need no extra programs. None disables raw-prompt cloning.
+        prompt_seconds_buckets: Optional[Sequence[float]] = None,
         # persist compiled bucket programs across process restarts: warmup
         # after the first deploy skips XLA compilation entirely
         # (utils/compilation_cache.py)
@@ -110,6 +118,10 @@ class TTSEngine:
         self.long_window_frames = long_window_frames
         self.long_overlap_frames = long_overlap_frames
         self.enable_long_form = enable_long_form
+        self.prompt_seconds_buckets = (
+            tuple(sorted(prompt_seconds_buckets))
+            if prompt_seconds_buckets else None
+        )
         self._warm = False
 
     # ------------------------------------------------------------------
@@ -353,6 +365,15 @@ class TTSEngine:
         id->frame mapping rate-exact), and the emitted stream is trimmed back
         to the exact frame count."""
         cond_ids, exact = self._long_frame_ids(ids_row)
+        yield from self._drive_long(cond_ids, exact, rng=rng)
+
+    def _drive_long(self, cond_ids: np.ndarray, exact: int, rng=None,
+                    prompt=None, skip_frames: int = 0):
+        """Drive the windowed-infilling stream for `cond_ids` covering
+        `exact` latent frames; optionally condition the first window on a
+        voice `prompt` (latents, already frame-aligned with the first
+        `skip_frames` ids) and drop the prompt's span from the emitted
+        stream (the caller already has that audio)."""
         window, overlap = self.long_window_frames, self.long_overlap_frames
         hop = window - overlap
         total = window + int(np.ceil(max(exact - window, 0) / hop)) * hop
@@ -367,13 +388,18 @@ class TTSEngine:
             )
         codec = self.wrapper.voicebox.audio_enc_dec
         as_audio = self._outputs_audio
-        budget = exact * codec.downsample_factor if as_audio else exact
+        per_frame = codec.downsample_factor if as_audio else 1
+        # emit frames [skip_frames, exact): the prompt span is the caller's
+        # own audio, the tail beyond `exact` is grid padding
+        budget = (exact - skip_frames) * per_frame
+        skip = skip_frames * per_frame
         time_axis = -1 if as_audio else 1
         for chunk in self.wrapper.sample_long_stream(
             semantic_token_ids=jnp.asarray(cond_ids),
             total_frames=total,
             window_frames=window,
             overlap_frames=overlap,
+            prompt=prompt,
             steps=self.steps,
             cond_scale=self.cond_scale,
             decode_to_audio=self.decode_to_audio,
@@ -382,18 +408,126 @@ class TTSEngine:
             rng=rng,
         ):
             n = chunk.shape[time_axis]
-            if n >= budget:
-                take = budget
-                budget = 0
-                if take:
-                    # trim on the HOST: slicing the jnp array would compile a
-                    # per-shape device program on the request path
+            # trim on the HOST: slicing the jnp array would compile a
+            # per-shape device program on the request path
+            lo = min(skip, n)
+            hi = min(lo + budget, n)
+            skip -= lo
+            budget -= hi - lo
+            if hi > lo:
+                if lo == 0 and hi == n:
+                    yield chunk
+                else:
                     sl = [slice(None)] * chunk.ndim
-                    sl[time_axis] = slice(0, take)
+                    sl[time_axis] = slice(lo, hi)
                     yield jnp.asarray(np.asarray(chunk)[tuple(sl)])
+            if budget == 0:
                 return
-            budget -= n
-            yield chunk
+
+    # ------------------------------------------------------------------
+    # in-context voice cloning
+    # ------------------------------------------------------------------
+
+    def _prepare_prompt(self, prompt, prompt_ids):
+        """Normalise a voice prompt to (latents (1, p, d), ids (1, n_p)).
+
+        Raw-audio prompts are zero-padded up to a `prompt_seconds_buckets`
+        bucket (so encode/wav2vec run on warmed static shapes), then the
+        valid latent frames / ids are sliced back out host-side — the
+        slices feed the HOST-assembled window conditioning, so variable
+        prompt lengths never touch a device program shape."""
+        codec = self.wrapper.voicebox.audio_enc_dec
+        prompt = np.asarray(prompt, dtype=np.float32)
+        if prompt.ndim == 2:  # raw audio (1, n_samples)
+            assert codec is not None, (
+                "raw-audio prompts need an audio_enc_dec on the VoiceBox; "
+                "pass prompt latents (1, p, dim) + prompt_ids instead"
+            )
+            assert self.prompt_seconds_buckets, (
+                "raw-audio prompts need TTSEngine(prompt_seconds_buckets=...) "
+                "so the encode/wav2vec programs stay on a static grid"
+            )
+            sr = codec.sampling_rate
+            n = prompt.shape[1]
+            buckets = [int(round(s * sr)) for s in self.prompt_seconds_buckets]
+            assert n <= buckets[-1], (
+                f"prompt of {n / sr:.1f}s exceeds the largest prompt bucket "
+                f"({self.prompt_seconds_buckets[-1]}s)"
+            )
+            target = self._bucket(n, buckets)
+            padded = np.zeros((1, target), dtype=np.float32)
+            padded[:, :n] = prompt
+            lat = np.asarray(codec.encode(jnp.asarray(padded)))
+            p_frames = int(np.ceil(n / (target / lat.shape[1])))
+            lat = lat[:, :p_frames]
+            if prompt_ids is None:
+                assert (self.mode == "semantic"
+                        and self.wrapper.text_to_semantic.wav2vec is not None), (
+                    "prompt_ids can only be derived from audio via wav2vec "
+                    "(semantic mode); pass prompt_ids= explicitly"
+                )
+                from .ops.stft import resample
+
+                w2v = self.wrapper.text_to_semantic.wav2vec
+                w_in = resample(jnp.asarray(padded), sr, w2v.target_sample_hz)
+                ids = np.asarray(w2v(w_in))
+                n_p = int(np.ceil(n / (target / ids.shape[1])))
+                prompt_ids = ids[:, : max(n_p, 1)]
+            return lat, np.asarray(prompt_ids)
+        assert prompt.ndim == 3, "prompt must be (1, n_samples) or (1, p, dim)"
+        assert prompt_ids is not None, (
+            "latent prompts need explicit prompt_ids (the conditioning ids "
+            "for the prompt span — e.g. wav2vec ids of the prompt audio)"
+        )
+        return prompt, np.asarray(prompt_ids)
+
+    def clone_stream(self, text: str, prompt, *, prompt_ids=None, rng=None):
+        """In-context voice cloning — the Voicebox headline capability
+        (paper §3.2; reference `sample(cond=prompt_audio, texts=...)`,
+        voicebox_pytorch.py:1175-1201): synthesize `text` continuing the
+        voice in `prompt`, yielding audio/latent chunks.
+
+        Rides the warmed long-form window programs: the prompt occupies the
+        first window's kept span, and its LENGTH is data (the infilling
+        keep-mask), not a program shape — any prompt shorter than the window
+        shares one compiled sampler, so the request path stays compile-free.
+        The yielded stream contains ONLY the continuation (the prompt span
+        is the caller's own audio). `prompt`: raw audio (1, n_samples) at
+        codec.sampling_rate, or latents (1, p, dim) with explicit
+        `prompt_ids`."""
+        assert self.enable_long_form, (
+            "cloning rides the long-form path; construct the engine with "
+            "enable_long_form=True"
+        )
+        tok = self._tokenizer()
+        ids_row = np.asarray(tok.texts_to_tensor_ids([text]))
+        n_tokens = int((ids_row[0] >= 0).sum())
+        assert n_tokens > 0, "empty text"
+        prompt_lat, p_ids = self._prepare_prompt(prompt, prompt_ids)
+        p_frames = int(prompt_lat.shape[1])
+        assert p_frames <= self.long_window_frames - 1, (
+            f"prompt spans {p_frames} frames, must be < long_window_frames="
+            f"{self.long_window_frames}"
+        )
+        gen_ids, gen_exact = self._long_frame_ids(ids_row[:, :n_tokens])
+        # host-side concat/cast: an eager device .astype would compile one
+        # tiny program PER PROMPT LENGTH on the request path
+        cond_ids = np.concatenate(
+            [np.asarray(p_ids).astype(gen_ids.dtype), gen_ids], axis=1
+        )
+        yield from self._drive_long(
+            cond_ids, p_frames + gen_exact, rng=rng,
+            prompt=jnp.asarray(prompt_lat), skip_frames=p_frames,
+        )
+
+    def clone(self, text: str, prompt, *, prompt_ids=None, rng=None):
+        """One-shot voice cloning; returns the full trimmed continuation
+        (audio (1, t_samples) / latents (1, n_frames, dim))."""
+        chunks = [np.asarray(c)
+                  for c in self.clone_stream(text, prompt,
+                                             prompt_ids=prompt_ids, rng=rng)]
+        time_axis = -1 if self._outputs_audio else 1
+        return jnp.asarray(np.concatenate(chunks, axis=time_axis))
 
     def warmup(self, verbose: bool = False) -> float:
         """Pre-compile every (batch, text-length) bucket; returns seconds."""
@@ -440,5 +574,183 @@ class TTSEngine:
             if verbose:
                 print(f"warm long-form window={window} overlap={overlap}",
                       flush=True)
+        codec = self.wrapper.voicebox.audio_enc_dec
+        if (self.enable_long_form and self.prompt_seconds_buckets
+                and codec is not None):
+            # cloning prompt grid: one codec-encode (+ wav2vec, semantic
+            # mode) program per prompt bucket
+            sr = codec.sampling_rate
+            for secs in self.prompt_seconds_buckets:
+                dummy = jnp.zeros((1, int(round(secs * sr))), jnp.float32)
+                jnp.asarray(codec.encode(dummy)).block_until_ready()
+                if (self.mode == "semantic"
+                        and self.wrapper.text_to_semantic.wav2vec is not None):
+                    from .ops.stft import resample
+
+                    w2v = self.wrapper.text_to_semantic.wav2vec
+                    w_in = resample(dummy, sr, w2v.target_sample_hz)
+                    jnp.asarray(w2v(w_in)).block_until_ready()
+                if verbose:
+                    print(f"warm prompt bucket {secs}s", flush=True)
         self._warm = True
         return time.time() - t0
+
+
+class DynamicBatcher:
+    """Request-level dynamic batching over a warmed `TTSEngine`.
+
+    The engine's pre-compiled bucket programs make BATCHED synthesis the
+    cheap path — measured on one v5e chip the full pipeline serves 508
+    audio-seconds/s at batch 8 vs 252 at batch 1 (PERFORMANCE.md) — but a
+    production server receives requests one at a time. This batcher closes
+    that gap: `submit(text)` returns a `concurrent.futures.Future`
+    immediately; a single worker thread drains the queue for up to
+    `max_wait_ms` after the first pending request, groups what it collected
+    by TEXT BUCKET (so a short request never pays a long bucket's compute),
+    and issues one `engine.synthesize` call per group. Over-bucket texts form
+    their own group and ride the engine's long-form path.
+
+    All device work happens on the one worker thread (the TPU wants a single
+    client); submitters only block in `Future.result()`. Results are the
+    engine's `trim=True` per-request arrays. The reference has no serving
+    layer at all (SURVEY.md §1: "no CLI, no serving layer") — this plus
+    `TTSEngine` is the deployment surface a production TPU fleet needs.
+
+        engine.warmup()
+        with DynamicBatcher(engine, max_wait_ms=8.0) as batcher:
+            futures = [batcher.submit(t) for t in texts]   # from any thread
+            clips = [f.result() for f in futures]
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        engine: TTSEngine,
+        *,
+        max_wait_ms: float = 8.0,
+        max_batch: Optional[int] = None,
+        seed: int = 0,
+        autostart: bool = True,
+    ):
+        self.engine = engine
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.max_batch = int(max_batch or engine.batch_buckets[-1])
+        assert self.max_batch >= 1
+        self._queue: "queue.Queue" = queue.Queue()
+        self._rng = jax.random.PRNGKey(seed)
+        self._thread: Optional[threading.Thread] = None
+        self._closed = False
+        # observability: occupancy tells you whether max_wait_ms is earning
+        # its latency cost
+        self.stats = {"requests": 0, "batches": 0, "occupancy_sum": 0}
+        if autostart:
+            self.start()
+
+    # ------------------------------------------------------------------
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._worker, name="DynamicBatcher", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def submit(self, text: str) -> Future:
+        """Enqueue one request; returns a Future resolving to the trimmed
+        per-request array (audio `(1, t)` / latents `(n, d)` — the engine's
+        `trim=True` layout)."""
+        assert not self._closed, "batcher is closed"
+        fut: Future = Future()
+        self._queue.put((text, fut))
+        return fut
+
+    def synthesize(self, text: str, timeout: Optional[float] = None):
+        """Blocking convenience wrapper around `submit`."""
+        return self.submit(text).result(timeout)
+
+    def close(self, timeout: Optional[float] = 30.0):
+        """Drain outstanding requests and stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(self._SENTINEL)
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def mean_occupancy(self) -> float:
+        b = self.stats["batches"]
+        return self.stats["occupancy_sum"] / b if b else 0.0
+
+    # ------------------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first pending request, then keep draining until
+        `max_batch` requests are in hand or `max_wait_ms` has elapsed.
+        Returns a list of (text, future); None means shutdown."""
+        first = self._queue.get()
+        if first is self._SENTINEL:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                item = (self._queue.get_nowait() if remaining <= 0
+                        else self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+            if item is self._SENTINEL:
+                # re-post the sentinel so the NEXT _collect shuts down; first
+                # serve what we already hold
+                self._queue.put(self._SENTINEL)
+                break
+            batch.append(item)
+        return batch
+
+    def _bucket_key(self, text: str, tok) -> int:
+        ids = np.asarray(tok.texts_to_tensor_ids([text]))
+        n = int((ids[0] >= 0).sum())
+        if n > self.engine.text_buckets[-1]:
+            return -1  # long-form group
+        return self.engine._bucket(n, self.engine.text_buckets)
+
+    def _worker(self):
+        tok = self.engine._tokenizer()
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            # group by text bucket: one engine call per bucket keeps short
+            # requests on short programs
+            groups: dict = {}
+            for text, fut in batch:
+                try:
+                    key = self._bucket_key(text, tok)
+                except Exception as e:  # tokenizer failure: fail that request
+                    fut.set_exception(e)
+                    continue
+                groups.setdefault(key, []).append((text, fut))
+            for key, items in groups.items():
+                texts = [t for t, _ in items]
+                self._rng, call_rng = jax.random.split(self._rng)
+                try:
+                    clips = self.engine.synthesize(texts, rng=call_rng,
+                                                   trim=True)
+                except Exception as e:
+                    for _, fut in items:
+                        fut.set_exception(e)
+                    continue
+                self.stats["requests"] += len(items)
+                self.stats["batches"] += 1
+                self.stats["occupancy_sum"] += len(items)
+                for (_, fut), clip in zip(items, clips):
+                    fut.set_result(clip)

@@ -16,7 +16,10 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "wav_read", "wav_read_batch", "wav_info"]
+__all__ = [
+    "native_available", "wav_read", "wav_read_batch", "wav_info",
+    "flac_available", "flac_read", "flac_info",
+]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "wavio.cpp"
@@ -24,6 +27,12 @@ _LIB_PATH = _HERE / "libvbwavio.so"
 
 _lib = None
 _tried = False
+
+_FLAC_SRC = _HERE / "flacio.cpp"
+_FLAC_LIB_PATH = _HERE / "libvbflac.so"
+
+_flac_lib = None
+_flac_tried = False
 
 
 def _build() -> bool:
@@ -136,3 +145,95 @@ def wav_read_batch(
         num_threads,
     )
     return out, lengths
+
+
+# ----------------------------------------------------------------------
+# FLAC (flacio.cpp) — the reference dataset's format (reference
+# data.py:26-53); no flac-capable library ships in this image, so the
+# framework carries its own decoder. Same graceful-degradation contract.
+# ----------------------------------------------------------------------
+
+
+def _load_flac():
+    global _flac_lib, _flac_tried
+    if _flac_tried:
+        return _flac_lib
+    _flac_tried = True
+    try:
+        if (not _FLAC_LIB_PATH.exists()
+                or _FLAC_LIB_PATH.stat().st_mtime < _FLAC_SRC.stat().st_mtime):
+            subprocess.run(
+                [
+                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    str(_FLAC_SRC), "-o", str(_FLAC_LIB_PATH),
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(str(_FLAC_LIB_PATH))
+        lib.vb_flac_info.restype = ctypes.c_longlong
+        lib.vb_flac_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vb_flac_read.restype = ctypes.c_longlong
+        lib.vb_flac_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _flac_lib = lib
+    except Exception:
+        _flac_lib = None
+    return _flac_lib
+
+
+def flac_available() -> bool:
+    return _load_flac() is not None
+
+
+def flac_info(path) -> Optional[Tuple[int, int]]:
+    """-> (n_samples, sample_rate) from STREAMINFO (header-only), or None
+    (including streams that do not declare their length)."""
+    lib = _load_flac()
+    if lib is None:
+        return None
+    sr = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    n = lib.vb_flac_info(str(path).encode(), ctypes.byref(sr),
+                         ctypes.byref(ch))
+    if n < 0:
+        return None
+    return int(n), int(sr.value)
+
+
+def flac_read(path) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode one flac -> (float32 mono wave, sample_rate) or None."""
+    lib = _load_flac()
+    if lib is None:
+        return None
+    info = flac_info(path)
+    if info is not None:
+        cap = info[0]
+    else:
+        # stream without a declared length: bound by the compressed size
+        # (FLAC frames never expand 16-bit audio past ~2 bytes/sample of
+        # payload; 4x is a safe ceiling for any bit depth)
+        try:
+            cap = max(os.path.getsize(str(path)) * 4, 1 << 16)
+        except OSError:
+            return None
+    buf = np.empty(int(cap), dtype=np.float32)
+    sr = ctypes.c_int(0)
+    got = lib.vb_flac_read(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(cap),
+        ctypes.byref(sr),
+    )
+    if got < 0:
+        return None
+    return buf[:got], int(sr.value)

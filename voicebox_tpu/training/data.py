@@ -63,13 +63,22 @@ def load_audio(path) -> Tuple[np.ndarray, int]:
         if data.ndim == 2:  # channels-last -> mono (match reference's '1 ... -> ...')
             data = data.mean(axis=1)
         return data, sr
-    # non-wav formats need soundfile (not baked into this image — gated)
+    if suffix == ".flac":
+        # the reference dataset's format (reference data.py:26-53): decoded
+        # by the framework's own native C++ FLAC decoder (native/flacio.cpp)
+        from ..native import flac_read
+
+        native = flac_read(path)
+        if native is not None:
+            return native
+    # fallback for other formats (or flac without a toolchain): soundfile
+    # when available (not baked into this image — gated)
     try:
         import soundfile as sf
     except ImportError as e:
         raise ImportError(
-            f"loading {suffix} requires the 'soundfile' package; "
-            "convert to .wav or install soundfile"
+            f"loading {suffix} requires the native decoder toolchain (g++) "
+            "for .flac or the 'soundfile' package; convert to .wav otherwise"
         ) from e
     data, sr = sf.read(str(path), dtype="float32")
     if data.ndim == 2:
@@ -123,7 +132,13 @@ class AudioDataset:
                     n, sr = w.getnframes(), w.getframerate()
             except Exception:
                 pass
-        if n is None:  # non-wav or unreadable header: decode once
+        elif path.suffix.lower() == ".flac":
+            from ..native import flac_info
+
+            info = flac_info(path)  # STREAMINFO total, header-only
+            if info is not None:
+                n, sr = info
+        if n is None:  # unknown format or unreadable header: decode once
             n = len(self[idx])
             sr = self.sample_rate
         if self.sample_rate is not None and sr != self.sample_rate:

@@ -10,12 +10,8 @@ Usage (on the TPU):
 Prints a category table and the top-20 ops by device time.
 """
 
-import glob
-import gzip
-import json
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, ".")
 
@@ -76,48 +72,9 @@ def build_step(dim, variant):
     return run, (master, opt_state)
 
 
-def parse_trace(trace_dir):
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert paths, f"no trace under {trace_dir}"
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    # find the TPU device pid and its "XLA Ops" tid
-    tpu_pids = {
-        e["pid"] for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "TPU" in str(e.get("args", {}).get("name", ""))
-    }
-    op_tids = {
-        (e["pid"], e["tid"]) for e in events
-        if e.get("ph") == "M" and e.get("name") == "thread_name"
-        and e["pid"] in tpu_pids
-        and "XLA Ops" in str(e.get("args", {}).get("name", ""))
-    }
-    cat = defaultdict(float)
-    ops = defaultdict(lambda: [0.0, 0])
-    bytes_by_op = {}
-    for e in events:
-        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        args = e.get("args", {})
-        c = args.get("hlo_category", "?")
-        if c in ("while", "conditional"):
-            continue  # outer control-flow ops double-count their bodies
-        dur_ms = e.get("dur", 0) / 1e3
-        cat[c] += dur_ms
-        key = e.get("name", "?")
-        ops[key][0] += dur_ms
-        ops[key][1] += 1
-        if "raw_bytes_accessed" in args:
-            try:
-                bytes_by_op[key] = float(args["raw_bytes_accessed"])
-            except (TypeError, ValueError):
-                pass
-    return cat, ops, bytes_by_op
-
-
 def main():
+    from voicebox_tpu.utils.profiling import format_attribution, parse_device_trace
+
     dim = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     variant = sys.argv[2] if len(sys.argv) > 2 else "best"
     print("backend:", jax.default_backend(), flush=True)
@@ -130,19 +87,9 @@ def main():
     float(loss)
     jax.profiler.stop_trace()
 
-    cat, ops, bytes_by_op = parse_trace(trace_dir)
-    total = sum(cat.values())
-    print(f"\n== {dim} {variant}: per-step device time by HLO category "
-          f"(total {total / K:.2f} ms/step) ==")
-    for c, ms in sorted(cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {c:32s} {ms / K:8.3f} ms/step  {100 * ms / total:5.1f}%")
-    print("\n== top 20 ops by device time ==")
-    top = sorted(ops.items(), key=lambda kv: -kv[1][0])[:20]
-    for name, (ms, n) in top:
-        b = bytes_by_op.get(name)
-        gbs = (b * n / (ms / 1e3) / 1e9) if (b and ms) else None
-        extra = f" bytes/call={b / 1e6:.1f}MB eff={gbs:.0f}GB/s" if b else ""
-        print(f"  {ms / K:8.3f} ms/step x{n:3d}  {name[:80]}{extra}")
+    cats, ops = parse_device_trace(trace_dir)
+    print(f"\n== {dim} {variant} ==")
+    print(format_attribution(cats, ops, steps=K))
 
 
 if __name__ == "__main__":

@@ -10,8 +10,11 @@ are therefore padded to *bucketed* lengths (next multiple of
 carries an explicit boolean length mask that flows into the loss/attention
 masking.
 
-Audio file I/O is host-side and torch-free: WAV via the stdlib/scipy, FLAC via
-soundfile when available (gated — not in this image).
+Audio file I/O is host-side and torch-free: WAV and FLAC (the reference
+dataset's format, reference data.py:26-53) decode through the framework's own
+native C++ decoders (`voicebox_tpu/native`, GIL-releasing ctypes calls so the
+prefetch thread really overlaps); other formats fall back to soundfile when
+available (gated — not in this image).
 """
 
 from __future__ import annotations

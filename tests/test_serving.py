@@ -456,3 +456,37 @@ class TestRawAudioCloning:
             list(clone_engine.clone_stream(
                 "hi", np.zeros((1, int(0.5 * sr)), np.float32)
             ))
+
+
+class TestLongFormSegmentBatching:
+    def test_segments_generate_batched(self, engine):
+        """Long-form conditioning ids must batch segments through the warmed
+        bucket programs instead of one AR call per segment."""
+        engine.warmup()
+        text = TestLongForm.LONG
+        tok = engine._tokenizer()
+        n_tokens = int((np.asarray(tok.texts_to_tensor_ids([text]))[0] >= 0).sum())
+        n_segments = -(-n_tokens // engine.text_buckets[-1])
+        assert n_segments >= 3  # the test needs a truly multi-segment text
+
+        tts = engine.wrapper.text_to_semantic
+        calls = {"n": 0, "batches": []}
+        original = tts.generate
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            src = k.get("source", a[0] if a else None)
+            calls["batches"].append(int(src.shape[0]))
+            return original(*a, **k)
+
+        tts.generate = counting
+        try:
+            before = _COMPILES.count
+            clips = engine.synthesize([text], trim=True)
+        finally:
+            tts.generate = original
+        assert len(clips) == 1 and np.isfinite(clips[0]).all()
+        # fewer AR calls than segments, via batched bucket programs
+        assert calls["n"] < n_segments, (calls, n_segments)
+        assert max(calls["batches"]) > 1
+        assert _COMPILES.count == before  # batched programs were all warmed

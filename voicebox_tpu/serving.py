@@ -316,21 +316,42 @@ class TTSEngine:
         seg = self.text_buckets[-1]
         parts = []
         if self.mode == "semantic":
+            # segments BATCH through the warmed (batch, length) bucket
+            # programs: the AR decode scan runs the same number of steps for
+            # batch 1 or 8, so batching k same-bucket segments generates
+            # their ids ~k x faster — long-form time-to-first-audio is
+            # dominated by exactly this stage
             tts = self.wrapper.text_to_semantic
+            items = []  # (bucket length, (1, length) padded row)
             for s in range(0, ids_row.shape[1], seg):
                 chunk = ids_row[:, s : s + seg]
                 length = self._bucket(chunk.shape[1], self.text_buckets)
-                padded = self._pad_ids(chunk, 1, length)
-                sem, mask = tts.generate(
-                    source=jnp.asarray(padded),
-                    source_type="text",
-                    target_type="speech",
-                    max_length=self.max_semantic_token_ids,
-                    return_target_mask=True,
-                    spec_decode=self.spec_decode,
-                )
-                n_valid = int(np.asarray(mask)[0].sum())
-                parts.append(np.asarray(sem)[:, : max(n_valid, 1)])
+                items.append((length, self._pad_ids(chunk, 1, length)))
+            parts = [None] * len(items)
+            by_len: dict = {}
+            for i, (length, _) in enumerate(items):
+                by_len.setdefault(length, []).append(i)
+            max_batch = self.batch_buckets[-1]
+            for length, idxs in by_len.items():
+                for start in range(0, len(idxs), max_batch):
+                    sel = idxs[start : start + max_batch]
+                    batch = self._bucket(len(sel), self.batch_buckets)
+                    stacked = self._pad_ids(
+                        np.concatenate([items[i][1] for i in sel], axis=0),
+                        batch, length,
+                    )
+                    sem, mask = tts.generate(
+                        source=jnp.asarray(stacked),
+                        source_type="text",
+                        target_type="speech",
+                        max_length=self.max_semantic_token_ids,
+                        return_target_mask=True,
+                        spec_decode=self.spec_decode,
+                    )
+                    sem, mask = np.asarray(sem), np.asarray(mask)
+                    for j, i in enumerate(sel):
+                        n_valid = int(mask[j].sum())
+                        parts[i] = sem[j : j + 1, : max(n_valid, 1)]
         else:
             dp = self.wrapper.duration_predictor
             for s in range(0, ids_row.shape[1], seg):

@@ -134,7 +134,10 @@ class TestVoiceBox:
         out_pad = vb_pad.apply({"params": params}, x, **kw)
         out_raw = vb_raw.apply({"params": params}, x, **kw)
         assert out_pad.shape == out_raw.shape == (2, n, 64)
-        np.testing.assert_allclose(out_pad, out_raw, rtol=2e-4, atol=2e-5)
+        # atol covers f32 rounding only: the padded shape tiles the matmuls
+        # differently, so bit-exactness is not expected (masked pad frames
+        # contribute exact zeros either way)
+        np.testing.assert_allclose(out_pad, out_raw, rtol=2e-4, atol=1e-4)
 
     def test_lane_padding_loss_equivalent(self, rng):
         vb_pad = _uncond(pad_to_lane_multiple=True)

@@ -15,6 +15,10 @@ This probe measures the same step three ways on the TPU:
             leading tunnel RTT cancels in the differential
   chain1  — a single donated call timed cold (per-call number incl. RTT)
 
+Measured answer (dim 512, v5e): scan 35.94 ms/step vs chain 36.16 ms/step —
+the carry copies overlap compute and cost no wall time; the K-scan
+differential is an honest stand-in for the donated trainer step.
+
 Usage: python benchmarks/step_dispatch_probe.py [dim]
 """
 

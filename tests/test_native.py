@@ -182,6 +182,28 @@ class TestNativeFlac:
         wave, sr = native.flac_read(p)
         assert sr == 24000 and len(wave) == 1100
 
+    def test_undeclared_total_high_compression_no_truncation(self, tmp_path):
+        """Undeclared-length stream whose decoded size exceeds the
+        compressed-size capacity heuristic (constant audio compresses far
+        past 4x): flac_read must grow its buffer and return ALL samples, not
+        silently truncate at the first guess (ADVICE r3)."""
+        from flac_ref_encoder import write_flac
+
+        n = 200_000  # constant frames compress to ~bytes each
+        x = np.full((1, n), 321, dtype=np.int64)
+        p = tmp_path / "t.flac"
+        write_flac(p, x, 24000, block_size=4096, mode="constant",
+                   declare_total=False)
+        import os
+
+        # the premise of the test: the initial capacity guess is too small
+        assert max(os.path.getsize(p) * 4, 1 << 16) < n
+        wave, sr = native.flac_read(p)
+        assert sr == 24000 and len(wave) == n
+        np.testing.assert_array_equal(
+            wave, np.full(n, 321 / (1 << 15), dtype=np.float32)
+        )
+
     def test_corrupt_rejected(self, tmp_path):
         p = tmp_path / "bad.flac"
         p.write_bytes(b"fLaC" + b"\x00" * 10)

@@ -331,6 +331,25 @@ class TestDynamicBatcher:
         for f in futs:
             assert np.isfinite(np.asarray(f.result(timeout=1))).all()
 
+    def test_submit_after_close_raises(self, engine):
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=1.0)
+        b.close()
+        with pytest.raises(AssertionError):
+            b.submit("too late")
+
+    def test_close_without_worker_fails_futures_not_hangs(self, engine):
+        """Requests stranded in the queue when the worker is gone must get an
+        exception, never an unresolved Future (ADVICE r3: a submit racing
+        close could block a result() caller forever)."""
+        engine.warmup()
+        b = self._batcher(engine, max_wait_ms=1.0, autostart=False)
+        futs = [b.submit(t) for t in ["x", "y"]]
+        b.close()  # no worker ever ran: close must cancel the queued futures
+        for f in futs:
+            with pytest.raises(RuntimeError, match="closed"):
+                f.result(timeout=1)
+
     def test_max_batch_respected(self, engine):
         engine.warmup()
         b = self._batcher(engine, max_wait_ms=50.0, max_batch=2,

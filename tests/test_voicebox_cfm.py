@@ -325,6 +325,28 @@ class TestForwardWithCondScale:
         got = vb.forward_with_cond_scale(params, x, cond_scale=scale, **kwargs)
         np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
 
+    def test_numpy_kwargs_coerced_like_jnp(self, rng):
+        """numpy-typed cond/mask kwargs must get CFG-duplicated exactly like
+        device arrays (VERDICT r3 weak-item 6: isinstance(jax.Array) gating
+        let numpy masks slip through un-concatenated)."""
+        vb = _cond()
+        x = jax.random.normal(rng, (2, 16, 64))
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 50)
+        params = vb.init({"params": rng}, x, times=jnp.zeros((2,)), cond=x,
+                         cond_token_ids=ids)["params"]
+        jnp_kwargs = dict(times=jnp.full((2,), 0.3), cond=x,
+                          cond_token_ids=ids,
+                          cond_mask=jnp.ones((2, 16), bool))
+        np_kwargs = dict(times=np.full((2,), 0.3, np.float32),
+                         cond=np.asarray(x),
+                         cond_token_ids=np.asarray(ids),
+                         cond_mask=np.ones((2, 16), bool))
+        ref = vb.forward_with_cond_scale(params, x, cond_scale=1.7,
+                                         **jnp_kwargs)
+        got = vb.forward_with_cond_scale(params, x, cond_scale=1.7,
+                                         **np_kwargs)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
 
 class TestAdaptiveTsit5Path:
     def test_use_torchode_honours_tolerances(self, rng):

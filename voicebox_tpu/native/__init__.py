@@ -216,24 +216,33 @@ def flac_read(path) -> Optional[Tuple[np.ndarray, int]]:
     if lib is None:
         return None
     info = flac_info(path)
-    if info is not None:
+    declared = info is not None
+    if declared:
         cap = info[0]
     else:
-        # stream without a declared length: bound by the compressed size
-        # (FLAC frames never expand 16-bit audio past ~2 bytes/sample of
-        # payload; 4x is a safe ceiling for any bit depth)
+        # stream without a declared length: start from the compressed size
+        # (a heuristic only — FLAC COMPRESSES, so silence/constant-heavy
+        # audio can exceed any fixed expansion factor). The retry loop below
+        # makes the guess safe: got == cap means the decoder may have been
+        # truncated at the buffer edge, so grow and decode again until the
+        # result fits strictly inside the buffer.
         try:
             cap = max(os.path.getsize(str(path)) * 4, 1 << 16)
         except OSError:
             return None
-    buf = np.empty(int(cap), dtype=np.float32)
-    sr = ctypes.c_int(0)
-    got = lib.vb_flac_read(
-        str(path).encode(),
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        int(cap),
-        ctypes.byref(sr),
-    )
-    if got < 0:
-        return None
-    return buf[:got], int(sr.value)
+    while True:
+        buf = np.empty(int(cap), dtype=np.float32)
+        sr = ctypes.c_int(0)
+        got = lib.vb_flac_read(
+            str(path).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(cap),
+            ctypes.byref(sr),
+        )
+        if got < 0:
+            return None
+        if declared or got < cap:
+            # declared streams decode exactly `cap` samples by construction;
+            # undeclared streams are complete once the decode fits strictly
+            return buf[:got], int(sr.value)
+        cap *= 4

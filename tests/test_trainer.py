@@ -252,6 +252,52 @@ class TestTrainer:
         tr.train()
         assert tr.steps == 2
 
+    def test_tracker_receives_events(self, tmp_path, rng):
+        """Experiment-tracker hook mirroring accelerate's
+        init_trackers("voicebox", hps) + log (reference
+        trainer.py:182-189,285,302): a custom tracker object must receive the
+        init config, train-loss records at their steps, valid-loss records,
+        and a finish() at end of training (VERDICT r3 item 7)."""
+
+        class Recorder:
+            def __init__(self):
+                self.inits, self.logs, self.finished = [], [], False
+
+            def init_trackers(self, project, config):
+                self.inits.append((project, dict(config)))
+
+            def log(self, values, step):
+                self.logs.append((dict(values), step))
+
+            def finish(self):
+                self.finished = True
+
+        rec = Recorder()
+        tr = self._trainer(tmp_path, rng, trackers=(rec,), log_every=1)
+        tr.train()
+        assert rec.inits and rec.inits[0][0] == "voicebox"
+        assert rec.inits[0][1]["num_train_steps"] == 3
+        train_steps = sorted(s for v, s in rec.logs if "train_loss" in v)
+        assert train_steps == [0, 1, 2]
+        assert all(np.isfinite(v["train_loss"])
+                   for v, _ in rec.logs if "train_loss" in v)
+        valid_steps = [s for v, s in rec.logs if "valid_loss" in v]
+        assert 0 in valid_steps and 2 in valid_steps  # save_results_every=2
+        assert rec.finished
+
+    def test_tracker_plain_callable(self, tmp_path, rng):
+        records = []
+        tr = self._trainer(
+            tmp_path, rng,
+            trackers=(lambda record, step: records.append((record, step)),),
+            log_every=1,
+        )
+        tr.train()
+        events = {r.get("event") for r, _ in records}
+        assert "init_trackers" in events
+        assert any("train_loss" in r for r, _ in records)
+        assert any("valid_loss" in r for r, _ in records)
+
     def test_generate_delegates_to_sample(self, tmp_path, rng):
         # the reference's .generate calls a nonexistent method (trainer.py:212-213);
         # ours must actually sample

@@ -353,27 +353,51 @@ class TTSEngine:
                         n_valid = int(mask[j].sum())
                         parts[i] = sem[j : j + 1, : max(n_valid, 1)]
         else:
+            # duration segments batch through the warmed (batch, length)
+            # bucket programs exactly like semantic ones: same-bucket
+            # segments run ONE forward_with_cond_scale per (batch, length)
+            # group instead of one call each (the frame horizon is a
+            # deterministic function of the text bucket, so grouping by
+            # text bucket groups by program)
             dp = self.wrapper.duration_predictor
+            items = []  # (bucket length, (1, length) padded row)
             for s in range(0, ids_row.shape[1], seg):
                 chunk = ids_row[:, s : s + seg]
                 length = self._bucket(chunk.shape[1], self.text_buckets)
-                padded = self._pad_ids(chunk, 1, length)
+                items.append((length, self._pad_ids(chunk, 1, length)))
+            parts = [None] * len(items)
+            by_len: dict = {}
+            for i, (length, _) in enumerate(items):
+                by_len.setdefault(length, []).append(i)
+            max_batch = self.batch_buckets[-1]
+            for length, idxs in by_len.items():
                 frame_length = self._bucket(
                     length * self.frames_per_token, self.frame_buckets
                 )
-                durations, aligned = dp.forward_with_cond_scale(
-                    cond=None,
-                    phoneme_ids=jnp.asarray(padded),
-                    return_aligned_phoneme_ids=True,
-                    total_length=frame_length,
-                )
-                n_valid = int(
-                    np.clip(np.round(np.asarray(durations)), 1, None)
-                    .astype(np.int64)
-                    .sum()
-                )
-                n_valid = min(max(n_valid, 1), frame_length)
-                parts.append(np.asarray(aligned)[:, :n_valid])
+                for start in range(0, len(idxs), max_batch):
+                    sel = idxs[start : start + max_batch]
+                    batch = self._bucket(len(sel), self.batch_buckets)
+                    stacked = self._pad_ids(
+                        np.concatenate([items[i][1] for i in sel], axis=0),
+                        batch, length,
+                    )
+                    durations, aligned = dp.forward_with_cond_scale(
+                        cond=None,
+                        phoneme_ids=jnp.asarray(stacked),
+                        return_aligned_phoneme_ids=True,
+                        total_length=frame_length,
+                    )
+                    durations, aligned = np.asarray(durations), np.asarray(aligned)
+                    # count frames over VALID phoneme positions only: bucket
+                    # pads (id -1) sit after the valid prefix, so their >= 1
+                    # clipped durations would otherwise leak pad-id frames
+                    # into the conditioning stream
+                    per_pos = np.clip(np.round(durations), 1, None).astype(np.int64)
+                    valid_pos = stacked >= 0
+                    for j, i in enumerate(sel):
+                        n_valid = int(per_pos[j][valid_pos[j]].sum())
+                        n_valid = min(max(n_valid, 1), frame_length)
+                        parts[i] = aligned[j : j + 1, :n_valid]
         cond_ids = np.concatenate(parts, axis=1)
         exact = int(np.ceil(cond_ids.shape[1] * self._long_ratio()))
         return cond_ids, exact

@@ -113,6 +113,16 @@ class VoiceBoxTrainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         checkpoint_backend: str = "msgpack",  # msgpack | orbax (async)
+        # experiment trackers, mirroring the reference's
+        # accelerator.init_trackers("voicebox", hps) + accelerator.log
+        # (reference trainer.py:182-189,285,302): each item is EITHER a
+        # callable invoked as tracker(record: dict, step: int) for every
+        # metrics.jsonl record (including the one-time
+        # {"event": "init_trackers", "config": hps}), OR an object with any
+        # of .init_trackers(project_name, config) / .log(values, step) /
+        # .finish() — the wandb/tensorboard writer shapes. Only rank 0 logs
+        # under multi-host, like accelerate's main-process trackers.
+        trackers: tuple = (),
     ):
         self.cfm_wrapper = cfm_wrapper
         self.batch_size = batch_size
@@ -350,6 +360,7 @@ class VoiceBoxTrainer:
         self.checkpointer = make_checkpointer(checkpoint_backend, self.results_folder)
 
         self._metrics_path = self.results_folder / "metrics.jsonl"
+        self._trackers = tuple(trackers) if jax.process_index() == 0 else ()
         self._loss_buffer: list = []
         self._rng = jax.random.PRNGKey(seed)
         self._loss = self._loss_callable()
@@ -375,9 +386,24 @@ class VoiceBoxTrainer:
         print(msg, flush=True)
 
     def _log_metrics(self, record: dict, step: Optional[int] = None):
-        record = dict(record, step=self.steps if step is None else step, time=time.time())
+        step = self.steps if step is None else step
+        record = dict(record, step=step, time=time.time())
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record, default=float) + "\n")
+        for tracker in self._trackers:
+            if callable(tracker) and not hasattr(tracker, "log"):
+                tracker(record, step)
+                continue
+            if record.get("event") == "init_trackers":
+                init = getattr(tracker, "init_trackers", None)
+                if init is not None:
+                    init("voicebox", record["config"])
+                continue
+            log = getattr(tracker, "log", None)
+            if log is not None:
+                values = {k: v for k, v in record.items()
+                          if k not in ("step", "time")}
+                log(values, step=step)
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -656,3 +682,8 @@ class VoiceBoxTrainer:
         self.print("training complete")
         self.checkpointer.wait()  # flush async checkpoint writes
         self.cfm_wrapper.params = self.params
+        for tracker in self._trackers:
+            # accelerate's end_training analogue (reference trainer.py:321)
+            finish = getattr(tracker, "finish", None)
+            if finish is not None:
+                finish()

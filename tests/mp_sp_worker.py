@@ -120,19 +120,39 @@ def main():
     print(f"MP_SP_OK loss={l_sp_v:.6f}", flush=True)
 
     # ---------------- stage B: trainer with seq_parallel across processes -
+    # The (2, 4) mesh is PROCESS-ALIGNED (each row's seq slices on one host),
+    # so the trainer must take the row-sharded loader path: each process
+    # decodes ONLY its own batch rows (VERDICT r3 item 6).
     from voicebox_tpu.models.cfm import ConditionalFlowMatcherWrapper
     from voicebox_tpu.training.data import ArrayDataset
     from voicebox_tpu.training.trainer import VoiceBoxTrainer
+
+    class CountingDataset:
+        """ArrayDataset + decode counter; item_length stays decode-free so
+        the global bucket agreement doesn't count as decoding."""
+
+        def __init__(self, items):
+            self.items = items
+            self.decodes = 0
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            self.decodes += 1
+            return self.items[i]
+
+        def item_length(self, i):
+            return len(self.items[i])
 
     vb = VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,
                   num_register_tokens=2, conv_pos_embed_kernel_size=7,
                   condition_on_text=False)
     cfm = ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
     cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=2)
-    ds = ArrayDataset(
-        [np.random.RandomState(i).randn(64, 8).astype(np.float32)
-         for i in range(16)]
-    )
+    items = [np.random.RandomState(i).randn(64, 8).astype(np.float32)
+             for i in range(16)]
+    ds = CountingDataset(items)
     tr = VoiceBoxTrainer(
         cfm, batch_size=2, dataset=ds, num_train_steps=2, valid_frac=0.25,
         results_folder=os.path.join(tmp, f"res{pid}"), seq_parallel=4,
@@ -140,10 +160,63 @@ def main():
         save_results_every=100, prefetch_batches=0,
     )
     assert tr.mesh.shape == {"data": 2, "seq": 4}
-    assert tr._mh_full_batch, "multi-host SP must take the full-batch path"
+    assert tr._sp_process_aligned, "2x4 over 2 procs must be aligned"
+    assert not tr._mh_full_batch, (
+        "aligned multi-host SP must use the row-sharded loader"
+    )
+
+    # content parity of the row-sharded global assembly: the global-mean of
+    # the assembled batch (a cross-process jit reduction) must equal the
+    # same-seeded UNSHARDED loader's batch mean computed host-side
+    from voicebox_tpu.training.data import DataLoader as _DL, random_split
+
+    # unsharded reference loader: same split/seed/shape config as the
+    # trainer's, but decoding EVERY row on this host
+    ref_train, _ = random_split(list(items), 0.25, 42)
+    ref_dl = _DL(ref_train, batch_size=2, shuffle=True, seed=0,
+                 bucket_multiple=16, bucket_offset=0)
+    ref_wave, _ = next(iter(ref_dl))
+    wave, mask = next(tr.dl_iter)
+    x, m, _ = tr._prepare_batch(wave, mask)
+    gmean = jax.jit(
+        jnp.mean,
+        out_shardings=NamedSharding(tr.mesh, P()),
+    )(x)
+    gmean = float(np.asarray(gmean.addressable_shards[0].data))
+    np.testing.assert_allclose(gmean, float(ref_wave.mean()), rtol=1e-5)
+
+    before = ds.decodes
     tr.train()
     assert tr.steps == 2
-    print("MP_TRAINER_OK steps=2", flush=True)
+    decoded = ds.decodes
+    # 2 train steps x 2 global rows + 1 valid batch x 2 rows = 6 global rows;
+    # a row-sharded process decodes HALF (the content-parity probe above
+    # consumed one extra local batch before training)
+    assert decoded <= before + 4, (
+        f"process decoded {decoded - before} rows during training — "
+        "expected only its own (<= 3 batches x 1 local row + slack)"
+    )
+    print(f"MP_TRAINER_OK steps=2 decodes={decoded}", flush=True)
+
+    # ---------------- stage C: row-spanning mesh falls back to full decode -
+    cfm2 = ConditionalFlowMatcherWrapper(
+        VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,
+                 num_register_tokens=2, conv_pos_embed_kernel_size=7,
+                 condition_on_text=False), cond_drop_prob=0.2,
+    )
+    cfm2.init_params(jax.random.PRNGKey(0), seq_len=16, batch=2)
+    tr2 = VoiceBoxTrainer(
+        cfm2, batch_size=2, dataset=CountingDataset(items), num_train_steps=1,
+        valid_frac=0.25, results_folder=os.path.join(tmp, f"res{pid}_sp8"),
+        seq_parallel=8, bucket_multiple=16, bucket_offset=0,
+        save_model_every=100, save_results_every=100, prefetch_batches=0,
+    )
+    assert tr2.mesh.shape == {"data": 1, "seq": 8}
+    assert not tr2._sp_process_aligned  # rows span both processes
+    assert tr2._mh_full_batch, "row-spanning SP must take the full-batch path"
+    tr2.train()
+    assert tr2.steps == 1
+    print("MP_FALLBACK_OK steps=1", flush=True)
 
 
 if __name__ == "__main__":

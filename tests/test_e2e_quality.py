@@ -56,3 +56,56 @@ def test_conditioning_is_used(canary):
         f"own-utterance MSD {own:.1f} >= cross-utterance {cross:.1f}: "
         "samples ignore their conditioning"
     )
+
+
+class TestDurationPipeline:
+    """Same gates for BASELINE config 4's pipeline (VERDICT r3 item 5):
+    text -> DurationPredictor (aligner + MAS) -> aligned ids -> CFM ->
+    log-mel latents, sampled through cfm.sample's duration branch."""
+
+    @pytest.fixture(scope="class")
+    def dcanary(self):
+        from benchmarks.e2e_quality_canary_duration import (
+            build_and_train_duration,
+            sample_from_text_duration,
+        )
+
+        # measured gate minimum: dp 300 / cfm 700 gives own 80.3 <
+        # cross 87.7; 800 adds margin. The benchmark's full budget (2000)
+        # goes well below.
+        pipe, gt = build_and_train_duration(dp_steps=300, cfm_steps=800,
+                                            verbose=lambda *a: None)
+        gen = sample_from_text_duration(pipe, steps=12)
+        return pipe, gt, gen
+
+    def test_trained_beats_chance(self, dcanary):
+        from benchmarks.e2e_quality_canary import mel_msd
+        from benchmarks.e2e_quality_canary_duration import (
+            sample_from_text_duration,
+        )
+
+        pipe, gt, gen = dcanary
+        msd = mel_msd(gen, gt)
+        untrained = pipe["cfm"].init_params(
+            jax.random.PRNGKey(99), seq_len=pipe["n_frames"], batch=1
+        )
+        msd0 = mel_msd(
+            sample_from_text_duration(pipe, params=untrained, steps=12), gt
+        )
+        assert np.isfinite(msd) and np.isfinite(msd0)
+        assert msd < 0.5 * msd0, (
+            f"trained MSD {msd:.1f} not materially below untrained {msd0:.1f}"
+        )
+
+    def test_conditioning_is_used(self, dcanary):
+        import jax.numpy as jnp
+
+        from benchmarks.e2e_quality_canary import mel_msd
+
+        pipe, gt, gen = dcanary
+        own = mel_msd(gen, gt)
+        cross = mel_msd(gt, jnp.asarray(np.roll(np.asarray(gt), 1, axis=0)))
+        assert own < cross, (
+            f"own-utterance MSD {own:.1f} >= cross-utterance {cross:.1f}: "
+            "the duration-aligned ids don't condition the samples"
+        )

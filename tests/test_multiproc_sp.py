@@ -3,9 +3,13 @@ single-host-only limitation (PARITY.md). Spawns TWO real jax processes
 (4 virtual CPU devices each, `jax.distributed` coordinator over localhost) so
 the 8-device 'seq' mesh spans a process boundary, and asserts:
 
-* the SP loss/grads match the single-device plain model (stage A), and
-* `VoiceBoxTrainer(seq_parallel=4)` trains under `process_count == 2`
-  via the full-global-batch input path (stage B).
+* the SP loss/grads match the single-device plain model (stage A),
+* `VoiceBoxTrainer(seq_parallel=4)` trains under `process_count == 2` on the
+  PROCESS-ALIGNED row-sharded input path — each process decodes only its own
+  batch rows, and the assembled global batch matches an unsharded decode
+  (stage B, VERDICT r3 item 6), and
+* a row-spanning mesh (`seq_parallel=8` over 2x4 devices) still trains via
+  the full-global-batch fallback (stage C).
 
 See tests/mp_sp_worker.py for the per-process program.
 """
@@ -56,6 +60,7 @@ def test_two_process_sequence_parallel(tmp_path):
         assert rc == 0, f"worker failed (rc={rc}):\n{err[-4000:]}"
         assert "MP_SP_OK" in out, out
         assert "MP_TRAINER_OK steps=2" in out, out
+        assert "MP_FALLBACK_OK steps=1" in out, out
     # both processes computed the SAME global SP loss
     losses = [
         line.split("loss=")[1]

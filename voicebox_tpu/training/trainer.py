@@ -198,11 +198,19 @@ class VoiceBoxTrainer:
             assert devices.size % self.seq_parallel == 0
             from jax.sharding import Mesh
 
-            mesh = Mesh(
-                devices.reshape(devices.size // self.seq_parallel,
-                                self.seq_parallel),
-                (DATA_AXIS, "seq"),
+            mesh_arr = devices.reshape(devices.size // self.seq_parallel,
+                                       self.seq_parallel)
+            # process-aligned rows: jax.devices() groups devices by process,
+            # so when each process's device count is a multiple of
+            # seq_parallel the row-major reshape puts every (data-)row's seq
+            # slices on ONE host. Each host then owns whole batch rows and
+            # the row-sharded loader can feed SP too — no full-batch decode
+            # duplication (VERDICT r3 item 6). Verified, not assumed: a
+            # custom jax.devices() order would silently break the property.
+            self._sp_process_aligned = all(
+                len({d.process_index for d in row}) == 1 for row in mesh_arr
             )
+            mesh = Mesh(mesh_arr, (DATA_AXIS, "seq"))
         elif mesh is None and use_mesh and len(jax.devices()) > 1:
             mesh = make_mesh()
         self.mesh = mesh
@@ -301,17 +309,26 @@ class VoiceBoxTrainer:
                 f"batch_size {micro_bs} must divide the data-parallel axis {n_data}"
             )
         self._multihost = jax.process_count() > 1 and mesh is not None
-        # Multi-host sequence parallelism: a host's devices own SEQ slices of
-        # batch rows that may live in another host's data shard, so row-
-        # sharded loading cannot feed them. Instead every process decodes the
-        # FULL global batch (same seed -> identical batches) and each device
-        # pulls its (row, seq-slice) tile from it in _put_global. The decode
-        # is duplicated per process — the declared cost of multi-host SP
-        # (PARITY.md limitations).
-        self._mh_full_batch = self._multihost and self.seq_parallel > 1
+        # Multi-host sequence parallelism input path. PROCESS-ALIGNED meshes
+        # (each data-row's seq slices all on one host — the normal case,
+        # verified above) let the row-sharded loader feed SP exactly like
+        # plain DP: each host decodes only its own batch rows. Only when a
+        # row SPANS hosts (seq_parallel > local device count, or an exotic
+        # device order) does every process decode the FULL global batch
+        # (same seed -> identical batches) and each device pull its
+        # (row, seq-slice) tile in _put_global — the fallback documented in
+        # PARITY.md.
+        world = jax.process_count()
+        sp_aligned = (
+            self.seq_parallel > 1
+            and getattr(self, "_sp_process_aligned", False)
+            and micro_bs % world == 0
+        )
+        self._mh_full_batch = (
+            self._multihost and self.seq_parallel > 1 and not sp_aligned
+        )
         shard = None
         if self._multihost and not self._mh_full_batch:
-            world = jax.process_count()
             assert micro_bs % world == 0, (
                 f"batch_size {micro_bs} must divide over {world} processes"
             )

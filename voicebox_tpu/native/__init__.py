@@ -231,7 +231,15 @@ def flac_read(path) -> Optional[Tuple[np.ndarray, int]]:
         except OSError:
             return None
     while True:
-        buf = np.empty(int(cap), dtype=np.float32)
+        if cap > (1 << 31):
+            # > 2^31 samples (24+ hours mono at 24 kHz) is far past any real
+            # training utterance — treat as undecodable (most likely a
+            # corrupt stream) rather than exhausting host memory
+            return None
+        try:
+            buf = np.empty(int(cap), dtype=np.float32)
+        except MemoryError:
+            return None
         sr = ctypes.c_int(0)
         got = lib.vb_flac_read(
             str(path).encode(),

@@ -279,7 +279,13 @@ struct FlacPcm {
   bool ok = false;
 };
 
-FlacPcm decode_flac(const uint8_t* buf, size_t len) {
+// `max_needed`: output cap for streams that do NOT declare their length —
+// decoding stops once that many samples exist, and the caller (which sized
+// its buffer to max_needed) sees a full buffer and retries larger
+// (native/__init__.py::flac_read). Declared streams decode to their total,
+// which also bounds memory. Keeps a corrupt/hostile undeclared stream from
+// growing `mono` without limit.
+FlacPcm decode_flac(const uint8_t* buf, size_t len, uint64_t max_needed) {
   FlacPcm out;
   StreamInfo si;
   size_t bitpos = parse_header(buf, len, si);
@@ -287,7 +293,12 @@ FlacPcm decode_flac(const uint8_t* buf, size_t len) {
   BitReader br(buf, len);
   br.bitpos = bitpos;
   out.sample_rate = (int)si.sample_rate;
-  if (si.total_samples) out.mono.reserve((size_t)si.total_samples);
+  // reserve is only a hint: cap it so a corrupt STREAMINFO total (36-bit
+  // field, up to 64G samples) cannot force a giant allocation up front
+  if (si.total_samples)
+    out.mono.reserve((size_t)(si.total_samples < (1ull << 24)
+                                  ? si.total_samples
+                                  : (1ull << 24)));
 
   std::vector<std::vector<int64_t>> ch;
   while (br.bits_left() >= 16) {
@@ -367,7 +378,11 @@ FlacPcm decode_flac(const uint8_t* buf, size_t len) {
       for (unsigned c = 0; c < nch; ++c) acc += (double)ch[c][i];
       out.mono.push_back((float)(acc / nch * scale));
     }
-    if (si.total_samples && out.mono.size() >= si.total_samples) break;
+    if (si.total_samples) {
+      if (out.mono.size() >= si.total_samples) break;
+    } else if (out.mono.size() >= max_needed) {
+      break;  // caller's buffer is full — it grows it and decodes again
+    }
   }
   if (si.total_samples) {
     if (out.mono.size() < si.total_samples) return out;  // truncated stream
@@ -385,41 +400,51 @@ extern "C" {
 // does not declare its length; *sample_rate and *channels are filled on
 // success. Header-only (STREAMINFO), no frame decode.
 long long vb_flac_info(const char* path, int* sample_rate, int* channels) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  uint8_t head[128];
-  size_t n = fread(head, 1, sizeof(head), f);
-  fclose(f);
-  StreamInfo si;
-  if (parse_header(head, n, si) == 0) {
-    // metadata may exceed the probe window: only STREAMINFO (always the
-    // first block, 4 + 4 + 34 bytes) is required
-    if (n >= 42 && memcmp(head, "fLaC", 4) == 0 && (head[4] & 0x7F) == 0) {
-      BitReader br(head, n);
-      br.bitpos = 8 * 8;  // magic + block header
-      si = parse_streaminfo(br);
+  try {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t head[128];
+    size_t n = fread(head, 1, sizeof(head), f);
+    fclose(f);
+    StreamInfo si;
+    if (parse_header(head, n, si) == 0) {
+      // metadata may exceed the probe window: only STREAMINFO (always the
+      // first block, 4 + 4 + 34 bytes) is required
+      if (n >= 42 && memcmp(head, "fLaC", 4) == 0 && (head[4] & 0x7F) == 0) {
+        BitReader br(head, n);
+        br.bitpos = 8 * 8;  // magic + block header
+        si = parse_streaminfo(br);
+      }
+      if (!si.ok) return -1;
     }
-    if (!si.ok) return -1;
+    if (sample_rate) *sample_rate = (int)si.sample_rate;
+    if (channels) *channels = (int)si.channels;
+    if (si.total_samples == 0) return -2;
+    return (long long)si.total_samples;
+  } catch (...) {
+    return -1;  // no exception may cross the C ABI
   }
-  if (sample_rate) *sample_rate = (int)si.sample_rate;
-  if (channels) *channels = (int)si.channels;
-  if (si.total_samples == 0) return -2;
-  return (long long)si.total_samples;
 }
 
 // Decode to float32 mono; writes up to max_samples into out.
 // -> samples written, or -1 on error. *sample_rate filled on success.
 long long vb_flac_read(const char* path, float* out, long long max_samples,
                        int* sample_rate) {
-  ByteBuf file = read_file(path);
-  if (!file.ok) return -1;
-  FlacPcm pcm = decode_flac(file.data.data(), file.data.size());
-  if (!pcm.ok) return -1;
-  long long n = (long long)pcm.mono.size();
-  if (n > max_samples) n = max_samples;
-  memcpy(out, pcm.mono.data(), (size_t)n * sizeof(float));
-  if (sample_rate) *sample_rate = pcm.sample_rate;
-  return n;
+  try {
+    if (max_samples <= 0) return -1;
+    ByteBuf file = read_file(path);
+    if (!file.ok) return -1;
+    FlacPcm pcm =
+        decode_flac(file.data.data(), file.data.size(), (uint64_t)max_samples);
+    if (!pcm.ok) return -1;
+    long long n = (long long)pcm.mono.size();
+    if (n > max_samples) n = max_samples;
+    memcpy(out, pcm.mono.data(), (size_t)n * sizeof(float));
+    if (sample_rate) *sample_rate = pcm.sample_rate;
+    return n;
+  } catch (...) {
+    return -1;  // e.g. bad_alloc from a corrupt/hostile stream
+  }
 }
 
 }  // extern "C"

@@ -1,5 +1,5 @@
-"""Fuzz / property tests for the native C++ FLAC decoder
-(voicebox_tpu/native/flacio.cpp).
+"""Fuzz / property tests for the native C++ audio decoders
+(voicebox_tpu/native/flacio.cpp, wavio.cpp).
 
 Two properties beyond the directed cases in test_native.py:
 
@@ -145,18 +145,22 @@ import sys
 import numpy as np
 from voicebox_tpu import native
 
-path, out_path = sys.argv[1], sys.argv[2]
+path, out_path, kind = sys.argv[1], sys.argv[2], sys.argv[3]
 data = open(path, "rb").read()
 rs = np.random.RandomState(99)
 n_none = n_ok = 0
 
 def probe(blob, tag):
     global n_none, n_ok
-    p = out_path + ".probe.flac"
+    p = out_path + ".probe." + kind
     with open(p, "wb") as f:
         f.write(blob)
-    info = native.flac_info(p)      # header path must not crash either
-    got = native.flac_read(p)
+    if kind == "flac":
+        info = native.flac_info(p)  # header path must not crash either
+        got = native.flac_read(p)
+    else:
+        info = native.wav_info(p)
+        got = native.wav_read(p)
     if got is None:
         n_none += 1
     else:
@@ -208,19 +212,40 @@ def test_corruption_never_crashes(tmp_path):
 
     worker = tmp_path / "worker.py"
     worker.write_text(_CORRUPTION_WORKER)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     for stream in (src, src_undecl):
-        proc = subprocess.run(
-            [sys.executable, str(worker), str(stream),
-             str(tmp_path / "out")],
-            capture_output=True, text=True, timeout=600,
-            cwd="/root/repo", env=env,
-        )
-        assert proc.returncode == 0, (
-            f"decoder crashed on corrupt input ({stream.name}):\n"
-            f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
-        )
-        assert "CORRUPTION_OK" in proc.stdout
+        _run_corruption_worker(worker, stream, tmp_path, "flac")
+
+
+def test_wav_corruption_never_crashes(tmp_path):
+    """Same crash-safety property for the WAV decoder (wavio.cpp)."""
+    from scipy.io import wavfile
+
+    rs = np.random.RandomState(5)
+    x = (rs.randn(6000) * 0.2).astype(np.float32)
+    src16 = tmp_path / "valid16.wav"
+    wavfile.write(src16, 24000, (x * 32767).astype(np.int16))
+    srcf = tmp_path / "validf.wav"
+    wavfile.write(srcf, 24000, np.stack([x, -x], axis=1))  # stereo float32
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_CORRUPTION_WORKER)
+    for stream in (src16, srcf):
+        _run_corruption_worker(worker, stream, tmp_path, "wav")
+
+
+def _run_corruption_worker(worker, stream, tmp_path, kind):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, str(worker), str(stream),
+         str(tmp_path / "out"), kind],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, (
+        f"decoder crashed on corrupt input ({stream.name}):\n"
+        f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    )
+    assert "CORRUPTION_OK" in proc.stdout
 
 
 def test_corrupt_streaminfo_huge_total_declared(tmp_path):

@@ -20,6 +20,7 @@ __all__ = [
     "track_params_ema",
     "ema_params_from_state",
     "clip_by_global_norm_f32",
+    "restore_adam_state",
 ]
 
 
@@ -169,6 +170,71 @@ def track_params_ema(decay: float, ema_dtype=None) -> optax.GradientTransformati
         )
 
     return optax.GradientTransformation(init, update)
+
+
+def restore_adam_state(opt_state, mu, nu, count, params=None):
+    """Surgically install ported Adam moments + step counter into a freshly
+    inited optimizer state (the resume-from-reference path:
+    `utils/port_weights.load_optimizer_torch` produces `mu`/`nu`/`count`).
+
+    * the single `ScaleByAdamState` in the (possibly nested chain) state gets
+      the ported `mu`/`nu` — cast leaf-by-leaf to the state's existing dtypes
+      (so `moment_dtype=bfloat16` trainers restore into bf16 moments) — and
+      its bias-correction `count`;
+    * EVERY other stateful counter (e.g. the lr-schedule's
+      `ScaleByScheduleState.count` when lr is a warmup+cosine schedule) is
+      set to the same `count`, so the restored run resumes at the right
+      learning rate;
+    * a `ParamsEmaState` (the opt-in EMA tracker) is re-seeded from `params`
+      when given — the EMA of a resumed foreign run restarts at the ported
+      weights, since the reference trains without EMA and has none to port.
+    """
+    import jax.numpy as jnp
+
+    n_adam = 0
+
+    def cast_like(old_tree, new_tree):
+        old_leaves, treedef = jax.tree.flatten(old_tree)
+        new_leaves = jax.tree.leaves(new_tree)
+        assert len(old_leaves) == len(new_leaves), (
+            f"moment tree has {len(new_leaves)} leaves, state expects "
+            f"{len(old_leaves)}"
+        )
+        out = []
+        for o, n in zip(old_leaves, new_leaves):
+            assert tuple(o.shape) == tuple(n.shape), (o.shape, n.shape)
+            out.append(jnp.asarray(n, dtype=o.dtype))
+        return jax.tree.unflatten(treedef, out)
+
+    def rec(s):
+        nonlocal n_adam
+        if isinstance(s, optax.ScaleByAdamState):
+            n_adam += 1
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(count, s.count.dtype),
+                mu=cast_like(s.mu, mu),
+                nu=cast_like(s.nu, nu),
+            )
+        if isinstance(s, ParamsEmaState):
+            if params is None:
+                return s
+            return ParamsEmaState(ema=cast_like(s.ema, params))
+        if hasattr(s, "_fields"):  # other namedtuple states — recurse fields
+            # (e.g. optax MaskedState.inner_state can nest further states)
+            repl = {f: rec(getattr(s, f)) for f in s._fields}
+            if "count" in s._fields:
+                repl["count"] = jnp.asarray(count, s.count.dtype)
+            return type(s)(**repl)
+        if isinstance(s, (tuple, list)):
+            return type(s)(rec(x) for x in s)
+        return s
+
+    new_state = rec(opt_state)
+    assert n_adam == 1, (
+        f"expected exactly one Adam state in the optimizer chain, found "
+        f"{n_adam}"
+    )
+    return new_state
 
 
 def ema_params_from_state(opt_state) -> Optional[optax.Params]:

@@ -609,6 +609,57 @@ class VoiceBoxTrainer:
         # filename like the reference (trainer.py:47-58)
         self.steps = steps
 
+    def load_torch(self, path):
+        """Resume a REFERENCE training run on this trainer: port a reference
+        checkpoint (`results/voicebox.{steps}.pt`, reference
+        trainer.py:191-197,306-310) — model weights AND AdamW moments AND the
+        step counter — so a run started on the reference build continues here
+        mid-stream, mirroring the reference's own `.load`
+        (trainer.py:199-207, which restores model + optim + scheduler).
+
+        The scheduler carries no tensor state to port: both builds compute
+        the warmup+cosine LR purely from the step, which is restored into
+        every stateful counter (Adam bias correction AND the lr schedule).
+        Frozen `audio_enc_dec.*` codec weights are skipped as in
+        `ConditionalFlowMatcherWrapper.load_torch`; checkpoints whose
+        submodules carry unknown buffer layouts refuse the optimizer port
+        loudly rather than misalign (see
+        `utils/port_weights.load_optimizer_torch`)."""
+        from ..utils.port_weights import load_optimizer_torch
+
+        from .optimizer import restore_adam_state
+
+        self.cfm_wrapper.params = self.params
+        params = self.cfm_wrapper.load_torch(path)
+        mu, nu, count = load_optimizer_torch(path, params)
+        self.params = params
+        if self.mesh is not None:
+            from ..parallel.sharding_rules import shard_params
+
+            self.params = shard_params(self.mesh, self.params,
+                                       self._param_sharding_mode,
+                                       min_fsdp_size=self._min_fsdp_size)
+        # fresh state carries the right dtypes/sharding; the ported moments
+        # are installed into it leaf-by-leaf
+        if self.mesh is not None:
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = restore_adam_state(
+            self.opt_state, mu, nu, count, params=self.params
+        )
+        self.cfm_wrapper.params = self.params
+        if self._param_dtype is not None:
+            dt = self._param_dtype
+            self._live = jax.jit(lambda t: jax.tree.map(
+                lambda p: p.astype(dt)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, t
+            ))(self.params)
+        # the Adam step counter IS the number of completed optimizer steps —
+        # authoritative, unlike the reference's filename regex
+        self.steps = int(count)
+        return self.params
+
     @property
     def ema_params(self):
         """EMA param tree (None unless the trainer was built with ema_decay).

@@ -36,6 +36,7 @@ __all__ = [
     "load_transformer_torch",
     "load_voicebox_torch",
     "load_duration_predictor_torch",
+    "load_optimizer_torch",
 ]
 
 
@@ -659,3 +660,149 @@ def load_duration_predictor_torch(sd_or_path, template_params):
 
     load_transformer_torch(sd, p["transformer"], prefix="transformer.")
     return p
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state porting — resume a REFERENCE training run here
+# ---------------------------------------------------------------------------
+
+# state_dict keys that are registered buffers, not Parameters — they never
+# occupy torch optimizer indices (reference voicebox_pytorch.py:176 inv_freq,
+# :564 bandwidth_id)
+_TORCH_BUFFER_SUFFIXES = ("rotary_emb.inv_freq", "bandwidth_id")
+
+
+def load_optimizer_torch(pkg_or_path, template_params, port_fn=None):
+    """Port the AdamW state inside a reference trainer checkpoint into optax
+    Adam moment trees aligned with `template_params`.
+
+    The reference saves `{'model': wrapper_sd, 'optim': optim.state_dict(),
+    'scheduler': ...}` (reference trainer.py:191-197) and its `.load`
+    restores all three (trainer.py:199-207). `load_voicebox_torch` covers the
+    model; this covers the optimizer, so a run started on the reference build
+    CONTINUES here mid-stream: exp_avg/exp_avg_sq become optax `mu`/`nu` and
+    the step count carries over (Adam bias correction lines up). The
+    scheduler needs no tensor state — both builds compute the warmup+cosine
+    LR purely from the step (reference trainer.py:144-145,231-253).
+
+    Alignment: torch optimizer state is keyed by PARAM INDEX, not name. The
+    reference partitions `cfm_wrapper.parameters()` into [ndim>=2 (decayed),
+    ndim<2 (no decay)] groups in iteration order (reference
+    optimizer.py:3-35, no requires_grad filtering), and torch indexes params
+    consecutively across groups — so the index->name map is reconstructed by
+    applying the same partition to the checkpoint's state-dict keys minus
+    known buffers. Every stateful index's `exp_avg` shape is validated
+    against the mapped name's param shape; ANY mismatch refuses loudly
+    (checkpoints whose submodules carry unknown buffer layouts — e.g. a
+    registered codec or text_to_semantic — would misalign silently
+    otherwise; those restore model-only).
+
+    Because Adam is elementwise, the moments transform exactly like the
+    weights — the port reuses the same layout mapping (`port_fn`, default
+    `load_voicebox_torch`): transposed kernels get transposed moments.
+    Params the optimizer never stepped (frozen `null_cond`, a lazily
+    initialised torch state) keep zero moments.
+
+    Returns `(mu_tree, nu_tree, count)` with trees shaped like
+    `template_params` and `count` = the torch step counter (optax's global
+    count; heterogeneous per-param torch steps take the max, with a
+    warning).
+    """
+    import warnings
+
+    if port_fn is None:
+        port_fn = load_voicebox_torch
+    if isinstance(pkg_or_path, str):
+        import torch
+
+        pkg = torch.load(pkg_or_path, map_location="cpu", weights_only=False)
+    else:
+        pkg = pkg_or_path
+    assert isinstance(pkg, dict) and "optim" in pkg and "model" in pkg, (
+        "expected a reference trainer checkpoint with 'model' and 'optim' "
+        "entries (reference trainer.py:191-197)"
+    )
+    model_sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in pkg["model"].items()
+        if hasattr(v, "detach") or hasattr(v, "shape")
+    }
+    optim_sd = pkg["optim"]
+
+    # ordered Parameter names = state-dict order minus known buffers
+    names = [
+        k for k in model_sd
+        if not any(k.endswith(s) for s in _TORCH_BUFFER_SUFFIXES)
+    ]
+    groups = optim_sd["param_groups"]
+    if len(groups) == 2 and groups[1].get("weight_decay") == 0:
+        # reference get_optimizer grouping: [ndim>=2, ndim<2]
+        order = ([k for k in names if model_sd[k].ndim >= 2]
+                 + [k for k in names if model_sd[k].ndim < 2])
+    elif len(groups) == 1:
+        order = list(names)
+    else:
+        raise ValueError(
+            f"unrecognised param_groups layout ({len(groups)} groups) — "
+            "not a reference get_optimizer checkpoint"
+        )
+    flat_idx = [i for g in groups for i in g["params"]]
+    if flat_idx != list(range(len(flat_idx))) or len(flat_idx) != len(order):
+        raise ValueError(
+            f"optimizer indexes {len(flat_idx)} params but the checkpoint's "
+            f"state dict has {len(order)} non-buffer tensors — cannot align "
+            "optimizer state to names (restore model-only instead)"
+        )
+
+    def as_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    state = optim_sd.get("state", {})
+    sd_mu, sd_nu, steps, stateless = {}, {}, set(), []
+    for pos, name in enumerate(order):
+        st = state.get(pos, state.get(str(pos)))
+        shape = model_sd[name].shape
+        if st is None:
+            z = np.zeros(shape, dtype=np.float32)
+            sd_mu[name], sd_nu[name] = z, z
+            stateless.append(name)
+            continue
+        ea, eas = as_np(st["exp_avg"]), as_np(st["exp_avg_sq"])
+        if tuple(ea.shape) != tuple(shape):
+            raise ValueError(
+                f"optimizer state at index {pos} has exp_avg shape "
+                f"{tuple(ea.shape)} but maps to param {name!r} of shape "
+                f"{tuple(shape)} — index/name alignment failed (an unknown "
+                "buffer layout in a registered submodule?); restore "
+                "model-only instead"
+            )
+        sd_mu[name], sd_nu[name] = ea, eas
+        steps.add(int(float(as_np(st["step"]))))
+    assert steps, "optimizer state is empty — nothing to restore"
+    count = max(steps)
+    if len(steps) > 1:
+        warnings.warn(
+            f"heterogeneous per-param torch step counts {sorted(steps)} "
+            f"(params without gradients in some iterations); using "
+            f"count={count} for the global optax counter"
+        )
+    if stateless:
+        trainable_stateless = [
+            n for n in stateless if "null_cond" not in n
+        ]
+        if trainable_stateless:
+            warnings.warn(
+                f"{len(trainable_stateless)} trainable params had no "
+                f"optimizer state (never received gradients): "
+                f"{trainable_stateless[:5]} — their moments restart at zero"
+            )
+
+    import jax
+    import jax.numpy as jnp
+
+    def zeros():
+        return jax.tree.map(lambda p: jnp.zeros_like(p), template_params)
+
+    mu = port_fn(sd_mu, zeros())
+    nu = port_fn(sd_nu, zeros())
+    return mu, nu, count

@@ -12,8 +12,15 @@ Prints one JSON line per policy.
 """
 
 import json
+import os
 import sys
 import time
+
+# backend-compiler options (e.g. '{"xla_tpu_scoped_vmem_limit_kib": "65536"}').
+# XLA_FLAGS can't carry TPU flags here: the local client's flag parser is a
+# CPU-only build that aborts on unknown flags, while jit(compiler_options=...)
+# ships them to the device-side compiler over the tunnel.
+_COMPILER_OPTS = json.loads(os.environ.get("VB_COMPILER_OPTIONS", "null"))
 
 sys.path.insert(0, ".")
 
@@ -69,7 +76,8 @@ def bench(remat_policy, moment_dtype=None, scan_layers=False,
 
     def multi(K):
         # donated params/opt_state: REQUIRED to fit 16 GB HBM at this scale
-        @(lambda f: jax.jit(f, donate_argnums=(0, 1)))
+        @(lambda f: jax.jit(f, donate_argnums=(0, 1),
+                            compiler_options=_COMPILER_OPTS))
         def run(params, opt_state, rng):
             def body(carry, key):
                 p, o = carry

@@ -157,6 +157,32 @@ class ConditionalFlowMatcherWrapper:
         self.params = load_voicebox_torch(path, self.params)
         return self.params
 
+    def save_torch(self, path, extra_model_state=None):
+        """The INVERSE of `load_torch`: export this wrapper's TPU-trained
+        denoiser as a reference-format checkpoint that the reference's
+        `ConditionalFlowMatcherWrapper.load(path)` restores
+        (voicebox_pytorch.py:1167-1173 reads `pkg['model']`, whose denoiser
+        keys live under the `voicebox.` submodule prefix). `null_cond` and
+        `transformer.rotary_emb.inv_freq` are synthesised (frozen zeros /
+        deterministic buffer); `extra_model_state` entries merge verbatim —
+        pass the user's original frozen `voicebox.audio_enc_dec.*` torch
+        weights when a codec is attached on the reference side (or load
+        there with strict=False). For a checkpoint the reference TRAINER can
+        resume (with optimizer moments), use `VoiceBoxTrainer.save_torch`."""
+        from ..utils.port_weights import (
+            export_voicebox_torch,
+            save_reference_checkpoint,
+        )
+
+        assert self.params is not None, "no params to export"
+        sd = export_voicebox_torch(
+            self.params, dim_head=self.voicebox.dim_head
+        )
+        model = {f"voicebox.{k}": v for k, v in sd.items()}
+        if extra_model_state:
+            model.update(extra_model_state)
+        return save_reference_checkpoint(path, model)
+
     # ------------------------------------------------------------------
     # training loss (pure)
     # ------------------------------------------------------------------

@@ -348,6 +348,28 @@ class DurationPredictor:
         self.params = load_duration_predictor_torch(path, self.params)
         return self.params
 
+    def save_torch(self, path, prefix: str = ""):
+        """The INVERSE of `load_torch`: export a reference-layout
+        `DurationPredictor` state dict (inside a `{'model': ...}` pkg like
+        the reference trainer's). The aligner is NOT exported (its NS2
+        parameter names are unknowable here — symmetric with the load
+        direction), so the reference side loads with `strict=False`:
+        inference-complete, the training-only aligner retrains from init.
+        Pass `prefix='duration_predictor.'` to produce keys for a
+        ConditionalFlowMatcherWrapper-level state dict."""
+        from ..utils.port_weights import (
+            export_duration_predictor_torch,
+            save_reference_checkpoint,
+        )
+
+        assert self.params is not None, "no params to export"
+        sd = export_duration_predictor_torch(
+            self.params, dim_head=self.net.dim_head
+        )
+        return save_reference_checkpoint(
+            path, {f"{prefix}{k}": v for k, v in sd.items()}
+        )
+
     def loss_fn(self, params, rng, *, cond, phoneme_ids, mel, phoneme_len, mel_len,
                 phoneme_mask, mel_mask, cond_drop_prob: float = 0.0, **kwargs):
         """Pure training loss — jit/grad-able."""

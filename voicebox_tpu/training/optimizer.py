@@ -21,6 +21,7 @@ __all__ = [
     "ema_params_from_state",
     "clip_by_global_norm_f32",
     "restore_adam_state",
+    "adam_state_from_opt_state",
 ]
 
 
@@ -235,6 +236,34 @@ def restore_adam_state(opt_state, mu, nu, count, params=None):
         f"{n_adam}"
     )
     return new_state
+
+
+def adam_state_from_opt_state(opt_state):
+    """Extract `(mu, nu, count)` from the single `ScaleByAdamState` in a
+    (possibly nested chain) optimizer state — the export counterpart of
+    `restore_adam_state`, feeding `utils/port_weights.export_optimizer_torch`
+    so the reference trainer can resume a run trained here."""
+    found = []
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+            return
+        if hasattr(s, "_fields"):  # other namedtuple states
+            for f in s._fields:
+                rec(getattr(s, f))
+            return
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                rec(x)
+
+    rec(opt_state)
+    assert len(found) == 1, (
+        f"expected exactly one Adam state in the optimizer chain, found "
+        f"{len(found)}"
+    )
+    s = found[0]
+    return s.mu, s.nu, int(s.count)
 
 
 def ema_params_from_state(opt_state) -> Optional[optax.Params]:

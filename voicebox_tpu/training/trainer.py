@@ -174,6 +174,7 @@ class VoiceBoxTrainer:
         # optimizer: warmup->cosine schedule, global-norm clip, ndim<2 no-decay
         self.lr = lr
         self.initial_lr = initial_lr
+        self.wd = wd
         schedule = warmup_cosine_schedule(
             lr, initial_lr, self.num_warmup_steps, self.num_train_steps
         )
@@ -659,6 +660,45 @@ class VoiceBoxTrainer:
         # authoritative, unlike the reference's filename regex
         self.steps = int(count)
         return self.params
+
+    def save_torch(self, path, extra_model_state=None):
+        """The INVERSE of `load_torch`: export the current run as a
+        reference trainer checkpoint (`voicebox.{steps}.pt` layout,
+        reference trainer.py:191-197) — model weights AND AdamW moments AND
+        the step counter — so a run trained HERE resumes on the reference
+        build mid-stream. Moments stored at `moment_dtype=bfloat16` export
+        widened to f32 (reference checkpoints are f32); the scheduler entry
+        is `{}` (a no-op on torch scheduler `load_state_dict`; both builds
+        derive warmup+cosine LR from the step). `extra_model_state`: verbatim
+        entries merged into the model dict — e.g. the user's original frozen
+        `voicebox.audio_enc_dec.*` torch weights, which never train here and
+        are needed for a strict reference-side load when a codec is attached
+        (when merging those, the reference optimizer's param INDICES shift,
+        so resume the optimizer there only for codec-free wrappers)."""
+        from ..utils.port_weights import (
+            export_optimizer_torch,
+            export_voicebox_torch,
+            save_reference_checkpoint,
+        )
+        from .optimizer import adam_state_from_opt_state
+
+        dim_head = self.cfm_wrapper.voicebox.dim_head
+        mu, nu, count = adam_state_from_opt_state(self.opt_state)
+
+        def vb(tree):
+            return {
+                f"voicebox.{k}": v
+                for k, v in export_voicebox_torch(tree, dim_head=dim_head).items()
+            }
+
+        model = vb(self.params)
+        optim = export_optimizer_torch(
+            model, vb(mu), vb(nu), count,
+            lr=self.lr, wd=self.wd,
+        )
+        if extra_model_state:
+            model.update(extra_model_state)
+        return save_reference_checkpoint(path, model, optim)
 
     @property
     def ema_params(self):

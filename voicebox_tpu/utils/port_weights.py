@@ -37,6 +37,12 @@ __all__ = [
     "load_voicebox_torch",
     "load_duration_predictor_torch",
     "load_optimizer_torch",
+    "rotary_inv_freq",
+    "export_transformer_torch",
+    "export_voicebox_torch",
+    "export_duration_predictor_torch",
+    "export_optimizer_torch",
+    "save_reference_checkpoint",
 ]
 
 
@@ -806,3 +812,322 @@ def load_optimizer_torch(pkg_or_path, template_params, port_fn=None):
     mu = port_fn(sd_mu, zeros())
     nu = port_fn(sd_nu, zeros())
     return mu, nu, count
+
+
+# ---------------------------------------------------------------------------
+# Export — migrate a TPU-trained model BACK to the reference build
+# ---------------------------------------------------------------------------
+#
+# The inverse of the loaders above: flax param trees -> reference-layout torch
+# state dicts, so a model trained here can be loaded by the reference's
+# `ConditionalFlowMatcherWrapper.load(path)` (voicebox_pytorch.py:1167-1173)
+# or resumed by its trainer (`trainer.py:199-207`). Keys are emitted in the
+# reference module's GENUINE `state_dict()` order (torch registers a module's
+# own parameters first, then children in attribute-assignment order) — this
+# matters for `export_optimizer_torch`, whose param indices must match the
+# iteration order of `model.parameters()` on the reference side
+# (reference optimizer.py:3-35 partitions that iterator into
+# [ndim>=2 decayed, ndim<2 undecayed] groups).
+
+
+def _np32(v) -> np.ndarray:
+    """Fetch a (possibly bf16, possibly sharded/device) leaf as f32 numpy —
+    reference checkpoints store f32."""
+    import jax
+
+    return np.asarray(jax.device_get(v), dtype=np.float32)
+
+
+def _dense_to_torch(leaf) -> np.ndarray:
+    # flax Dense kernel (in, out) -> torch Linear weight (out, in)
+    return np.ascontiguousarray(_np32(leaf).T)
+
+
+def rotary_inv_freq(dim_head: int, theta: float = 50000.0) -> np.ndarray:
+    """The reference RotaryEmbedding's registered buffer
+    (voicebox_pytorch.py:172-176): 1/theta^(2i/d). Deterministic — the flax
+    build computes it on the fly, so export synthesises it."""
+    return (
+        1.0
+        / (theta ** (np.arange(0, dim_head, 2, dtype=np.float32) / dim_head))
+    ).astype(np.float32)
+
+
+def export_transformer_torch(tree, prefix: str = "", dim_head=None) -> dict:
+    """Inverse of `load_transformer_torch`: our `models/transformer.py` param
+    subtree -> the reference `Transformer` state-dict keys
+    (voicebox_pytorch.py:353-406; `layers.{i}` ModuleList =
+    [skip_combiner, gateloop, attn_prenorm, attn, ff_prenorm, ff]).
+
+    Emission order mirrors `Transformer.state_dict()`: `register_tokens` (the
+    module's own Parameter), `layers.{i}.*`, `rotary_emb.inv_freq` (buffer —
+    layers/rotary_emb/final_norm are children in that assignment order,
+    :375-406), `final_norm.gamma`. `dim_head` (for inv_freq) is inferred from
+    a qk-norm gamma `(heads, 1, dim_head)` when present, else required."""
+    out = {}
+
+    def dense(tkey, leaf, bias=True):
+        out[f"{tkey}.weight"] = _dense_to_torch(leaf["kernel"])
+        if bias and "bias" in leaf:
+            out[f"{tkey}.bias"] = _np32(leaf["bias"])
+
+    def prenorm(tkey, leaf):
+        if "gamma" in leaf:  # plain RMSNorm
+            out[f"{tkey}.gamma"] = _np32(leaf["gamma"])
+        else:  # AdaptiveRMSNorm
+            dense(f"{tkey}.to_gamma", leaf["to_gamma"])
+            dense(f"{tkey}.to_beta", leaf["to_beta"])
+
+    if "register_tokens" in tree:
+        out[f"{prefix}register_tokens"] = _np32(tree["register_tokens"])
+
+    depth = sum(1 for k in tree if k.startswith("block_"))
+    assert depth > 0, f"no block_i subtrees in transformer tree ({sorted(tree)})"
+
+    for i in range(depth):
+        lp = f"{prefix}layers.{i}"
+        if f"skip_combiner_{i}" in tree:
+            dense(f"{lp}.0", tree[f"skip_combiner_{i}"])
+        block = tree[f"block_{i}"]
+        assert "gateloop" not in block, (
+            "gateloop layer export is not implemented (the reference's "
+            "SimpleGateLoopLayer internals differ from ops/gateloop.py — "
+            "symmetric with load_transformer_torch)"
+        )
+        prenorm(f"{lp}.2", block["attn_prenorm"])
+        # Attention registers q_norm/k_norm before to_qkv/to_out (:310-315)
+        if "q_norm" in block["attn"]:
+            q_gamma = block["attn"]["q_norm"]["gamma"]
+            if dim_head is None:
+                dim_head = int(q_gamma.shape[-1])
+            out[f"{lp}.3.q_norm.gamma"] = _np32(q_gamma)
+            out[f"{lp}.3.k_norm.gamma"] = _np32(block["attn"]["k_norm"]["gamma"])
+        dense(f"{lp}.3.to_qkv", block["attn"]["to_qkv"], bias=False)
+        dense(f"{lp}.3.to_out", block["attn"]["to_out"], bias=False)
+        prenorm(f"{lp}.4", block["ff_prenorm"])
+        dense(f"{lp}.5.0", block["ff"]["proj_in"])
+        dense(f"{lp}.5.3", block["ff"]["proj_out"])
+
+    assert dim_head is not None, (
+        "pass dim_head= — it cannot be inferred from a transformer tree "
+        "without qk-norm gammas, and the rotary_emb.inv_freq buffer needs it"
+    )
+    out[f"{prefix}rotary_emb.inv_freq"] = rotary_inv_freq(int(dim_head))
+    out[f"{prefix}final_norm.gamma"] = _np32(tree["final_norm"]["gamma"])
+    return out
+
+
+def export_voicebox_torch(params, dim_head=None) -> dict:
+    """Inverse of `load_voicebox_torch`: our flax VoiceBox param tree -> a
+    reference `VoiceBox.state_dict()`-layout dict (voicebox_pytorch.py:
+    905-970), so a TPU-trained denoiser deploys on the reference build.
+
+    Synthesised entries the flax tree doesn't carry: `null_cond` (the
+    reference's requires_grad=False zeros, :941 — our null conditioning is
+    the same implicit zeros) and `transformer.rotary_emb.inv_freq` (buffer).
+    NOT emitted: `audio_enc_dec.*` — the frozen pretrained codec the user
+    attached on the reference side never trained here; merge their original
+    codec state dict back in (or load with strict=False and re-attach).
+
+    Works on any tree SHAPED like the params — Adam moment trees export
+    through the same layout mapping (moments transform exactly like the
+    weights), which `export_optimizer_torch` relies on."""
+    out = {}
+
+    # dims from the fusion projection: to_embed in-features = 2*dim_in +
+    # dim_cond_emb (:938)
+    in_features = int(params["to_embed"]["kernel"].shape[0])
+    dim_cond_emb = (
+        int(params["to_cond_emb"]["embedding"].shape[1])
+        if "to_cond_emb" in params
+        else 0
+    )
+    dim_in = (in_features - dim_cond_emb) // 2
+
+    # VoiceBox's own Parameter precedes all children in state_dict order
+    out["null_cond"] = np.zeros((dim_in,), dtype=np.float32)
+    if "proj_in" in params:
+        out["proj_in.weight"] = _dense_to_torch(params["proj_in"]["kernel"])
+        out["proj_in.bias"] = _np32(params["proj_in"]["bias"])
+    out["sinu_pos_emb.0.weights"] = _np32(params["sinu_pos_emb"]["weights"])
+    out["sinu_pos_emb.1.weight"] = _dense_to_torch(params["time_mlp"]["kernel"])
+    out["sinu_pos_emb.1.bias"] = _np32(params["time_mlp"]["bias"])
+    if "to_cond_emb" in params:
+        out["to_cond_emb.weight"] = _np32(params["to_cond_emb"]["embedding"])
+    out["to_embed.weight"] = _dense_to_torch(params["to_embed"]["kernel"])
+    out["to_embed.bias"] = _np32(params["to_embed"]["bias"])
+    # flax depthwise kernel (k, 1, dim) -> torch Conv1d (dim, 1, k)
+    out["conv_embed.dw_conv1d.0.weight"] = np.ascontiguousarray(
+        np.transpose(_np32(params["conv_embed"]["dw_conv1d"]["kernel"]), (2, 1, 0))
+    )
+    out["conv_embed.dw_conv1d.0.bias"] = _np32(
+        params["conv_embed"]["dw_conv1d"]["bias"]
+    )
+    out.update(
+        export_transformer_torch(
+            params["transformer"], prefix="transformer.", dim_head=dim_head
+        )
+    )
+    out["to_pred.weight"] = _dense_to_torch(params["to_pred"]["kernel"])
+    return out
+
+
+def export_duration_predictor_torch(params, dim_head=None) -> dict:
+    """Inverse of `load_duration_predictor_torch`: reference
+    `DurationPredictor` layout (voicebox_pytorch.py:596-693; Sequential
+    `to_pred.0`). The `aligner.*` / `align_loss` weights are NOT exported —
+    our Aligner is a contract re-implementation whose parameter names differ
+    from the NS2 package's (symmetric with the load direction) — so the
+    reference side must `load_state_dict(..., strict=False)`; the aligner
+    only produces TRAINING targets (MAS durations + forward-sum loss,
+    :841-876) and retrains from init, while inference is complete."""
+    out = {}
+    dim = int(params["to_embed"]["kernel"].shape[1])
+    out["null_cond"] = np.zeros((dim,), dtype=np.float32)  # :653 zeros(dim)
+    if "proj_in" in params:
+        out["proj_in.weight"] = _dense_to_torch(params["proj_in"]["kernel"])
+        out["proj_in.bias"] = _np32(params["proj_in"]["bias"])
+    out["to_phoneme_emb.weight"] = _np32(params["to_phoneme_emb"]["embedding"])
+    out["to_embed.weight"] = _dense_to_torch(params["to_embed"]["kernel"])
+    out["to_embed.bias"] = _np32(params["to_embed"]["bias"])
+    out["conv_embed.dw_conv1d.0.weight"] = np.ascontiguousarray(
+        np.transpose(_np32(params["conv_embed"]["dw_conv1d"]["kernel"]), (2, 1, 0))
+    )
+    out["conv_embed.dw_conv1d.0.bias"] = _np32(
+        params["conv_embed"]["dw_conv1d"]["bias"]
+    )
+    out.update(
+        export_transformer_torch(
+            params["transformer"], prefix="transformer.", dim_head=dim_head
+        )
+    )
+    out["to_pred.0.weight"] = _dense_to_torch(params["to_pred"]["kernel"])
+    out["to_pred.0.bias"] = _np32(params["to_pred"]["bias"])
+    return out
+
+
+# reference optimizer.py never filters requires_grad, so the frozen
+# `null_cond` zeros OCCUPY optimizer indices but never accrue state (AdamW
+# skips params whose .grad is None)
+_TORCH_STATELESS_SUFFIXES = ("null_cond",)
+
+
+def export_optimizer_torch(
+    model_sd: dict,
+    mu_sd: dict,
+    nu_sd: dict,
+    count: int,
+    *,
+    lr: float = 1e-4,
+    wd: float = 1e-2,
+    betas=(0.9, 0.99),
+    eps: float = 1e-8,
+) -> dict:
+    """Build a torch `AdamW.state_dict()` from exported Adam moments so the
+    REFERENCE trainer resumes a TPU-trained run mid-stream (the inverse of
+    `load_optimizer_torch`).
+
+    `model_sd` is the exported model state dict (its key order IS the torch
+    `parameters()` order, see the section comment); `mu_sd`/`nu_sd` are the
+    moment trees exported through the same layout mapping (e.g.
+    `export_voicebox_torch(mu)`, keys matching `model_sd`). Param indices
+    replicate the reference `get_optimizer` grouping (optimizer.py:3-35):
+    wd>0 -> AdamW with [ndim>=2, ndim<2] groups (the second undecayed),
+    wd==0 -> one Adam group. Buffers (`rotary_emb.inv_freq`, `bandwidth_id`)
+    never occupy indices; frozen `null_cond` occupies an index but gets no
+    state entry (torch skips grad-less params). Group hyperparameters are
+    emitted in full because `torch.optim.Optimizer.load_state_dict` REPLACES
+    the live groups' hypers with the saved ones."""
+    names = [
+        k for k in model_sd
+        if not any(k.endswith(s) for s in _TORCH_BUFFER_SUFFIXES)
+    ]
+    if wd > 0:
+        group_names = [
+            [k for k in names if model_sd[k].ndim >= 2],
+            [k for k in names if model_sd[k].ndim < 2],
+        ]
+    else:
+        group_names = [names]
+    order = [k for g in group_names for k in g]
+
+    def hypers(weight_decay):
+        return dict(
+            lr=lr,
+            betas=tuple(betas),
+            eps=eps,
+            weight_decay=weight_decay,
+            amsgrad=False,
+            maximize=False,
+            foreach=None,
+            capturable=False,
+            differentiable=False,
+            fused=None,
+        )
+
+    state, pos = {}, 0
+    param_groups = []
+    for gi, g in enumerate(group_names):
+        idxs = []
+        for name in g:
+            if not any(name.endswith(s) for s in _TORCH_STATELESS_SUFFIXES):
+                ea, eas = mu_sd[name], nu_sd[name]
+                assert tuple(ea.shape) == tuple(model_sd[name].shape), (
+                    f"{name}: moment shape {tuple(ea.shape)} != param shape "
+                    f"{tuple(model_sd[name].shape)}"
+                )
+                state[pos] = {
+                    "step": np.float32(count),
+                    "exp_avg": np.asarray(ea, dtype=np.float32),
+                    "exp_avg_sq": np.asarray(eas, dtype=np.float32),
+                }
+            idxs.append(pos)
+            pos += 1
+        weight_decay = wd if (wd > 0 and gi == 0) else 0.0
+        param_groups.append(dict(hypers(weight_decay), params=idxs))
+    assert pos == len(order)
+    return {"state": state, "param_groups": param_groups}
+
+
+def save_reference_checkpoint(
+    path, model_sd: dict, optim_sd=None, scheduler_sd=None
+):
+    """Write a reference-trainer-layout checkpoint:
+    `torch.save({'model': ..., 'optim': ..., 'scheduler': ...}, path)`
+    (reference trainer.py:191-197). Numpy values become torch tensors.
+
+    With `optim_sd=None` an empty dict is stored — sufficient for
+    `ConditionalFlowMatcherWrapper.load(path)` (which reads only
+    `pkg['model']`, voicebox_pytorch.py:1167-1173) but NOT for the reference
+    trainer's `.load` (it calls `optim.load_state_dict(pkg['optim'])`); pass
+    `export_optimizer_torch(...)` output to resume training there. An empty
+    `scheduler` dict is always safe: torch LR schedulers load via
+    `self.__dict__.update(state_dict)`, so `{}` is a no-op that keeps the
+    fresh schedule (both builds recompute warmup+cosine purely from step)."""
+    import torch
+
+    def to_torch(v):
+        if isinstance(v, np.generic):
+            return torch.tensor(float(v))
+        # np.array(copy=True): jax arrays view read-only buffers, and
+        # torch.from_numpy on those yields tensors that warn (and invoke
+        # undefined behavior if the reference side mutates them in-place)
+        return torch.from_numpy(np.array(v, copy=True))
+
+    pkg = {
+        "model": {k: to_torch(v) for k, v in model_sd.items()},
+        "optim": (
+            {
+                "state": {
+                    i: {k: to_torch(v) for k, v in st.items()}
+                    for i, st in optim_sd["state"].items()
+                },
+                "param_groups": optim_sd["param_groups"],
+            }
+            if optim_sd
+            else {}
+        ),
+        "scheduler": scheduler_sd or {},
+    }
+    torch.save(pkg, str(path))
+    return pkg

@@ -68,6 +68,14 @@ def __getattr__(name):
         from .training.data import PrefetchLoader
 
         return PrefetchLoader
+    if name == "TextToSemanticTrainer":
+        from .training.seq2seq_trainer import TextToSemanticTrainer
+
+        return TextToSemanticTrainer
+    if name == "DurationPredictorTrainer":
+        from .training.duration_trainer import DurationPredictorTrainer
+
+        return DurationPredictorTrainer
     if name == "lora":
         from .ops import lora
 

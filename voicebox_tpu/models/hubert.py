@@ -317,6 +317,21 @@ class HubertWithKmeans:
     def downsample_factor(self) -> int:
         return 320
 
+    def num_frames(self, n_samples: int) -> int:
+        """Exact output frame count for an `n_samples` wav — the VALID-conv
+        arithmetic of the 7-layer extractor (transformers'
+        `_get_feat_extract_output_lengths` equivalent), after the
+        `seq_len_multiple_of` curtailment `_prep_wav` applies. Used by the
+        seq2seq trainer to mask the id positions a padded wav fabricates."""
+        n = int(n_samples)
+        if self.seq_len_multiple_of is not None:
+            n = (n // int(self.seq_len_multiple_of)) * int(self.seq_len_multiple_of)
+        for k, s in zip(self.feature_extractor.kernels,
+                        self.feature_extractor.strides):
+            n = (n - k) // s + 1
+        assert n > 0, f"wav of {n_samples} samples too short for the extractor"
+        return n
+
     def _features_impl(self, params, wav: jax.Array) -> jax.Array:
         feats = self.feature_extractor.apply(
             {"params": params["feature_extractor"]}, wav

@@ -1,0 +1,250 @@
+"""Shared trainer core: optimizer/schedule, metrics + tracker logging,
+checkpointing, the buffered-loss train loop.
+
+The reference build has exactly one trainer (`VoiceBoxTrainer`,
+reference trainer.py:60-321) because the other two trainable models in its
+pipeline arrive pretrained as pip dependencies (spear-tts text→semantic,
+NS2-style duration training loops live in their own repos). This framework's
+checkpoint-migration policy makes those models RETRAINABLE here (PARITY.md:
+spear-tts checkpoints are a declared port non-goal), so it ships trainers for
+them too — `TextToSemanticTrainer`, `DurationPredictorTrainer` — and this
+module holds the machinery they share with `VoiceBoxTrainer`:
+
+* warmup→cosine schedule + AdamW with ndim<2 decay masking
+  (`training/optimizer.py`, matching reference optimizer.py:3-35);
+* `metrics.jsonl` + experiment-tracker fan-out (the accelerate
+  `init_trackers`/`log` analogue, reference trainer.py:182-189,285,302);
+* device-side loss buffering (a `float()` per step would force a
+  device→host sync per step — tens of ms on a tunneled backend);
+* msgpack/orbax checkpointing with the step stored IN the checkpoint;
+* the generic donated, grad-accumulating jitted train step
+  (`build_accum_train_step`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .optimizer import get_optimizer, warmup_cosine_schedule
+
+__all__ = ["TrainerBase", "build_accum_train_step", "noop"]
+
+
+def noop(*args, **kwargs):
+    pass
+
+
+def build_accum_train_step(optimizer, loss_fn, accum: int):
+    """Jitted, donated train step with in-jit gradient accumulation.
+
+    `loss_fn(params, rng, *arrays) -> scalar` is the pure per-micro-batch
+    loss; each batch array carries a leading `(accum, micro, ...)` shape.
+    Accumulation is a `lax.scan` INSIDE the program (one device sync per
+    step — the analogue of accelerate's `no_sync`, see trainer.py module
+    doc); with accum > 1 the accumulator is f32 so bf16 micro-gradients
+    don't drop small contributions."""
+
+    def accum_grads(params, rng, arrays):
+        keys = jax.random.split(rng, accum)
+        acc_dtype = jnp.float32 if accum > 1 else None
+
+        def micro_step(carry, inp):
+            grads_acc, loss_acc = carry
+            key, xs = inp[0], inp[1:]
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, *xs)
+            if acc_dtype is not None:
+                grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
+            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, acc_dtype or p.dtype), params
+        )
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro_step, (zero_grads, 0.0), (keys, *arrays)
+        )
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        return grads, loss_sum / accum
+
+    def train_step(params, opt_state, rng, *arrays):
+        grads, loss = accum_grads(params, rng, arrays)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+class TrainerBase:
+    """Mixin-style base: subclass __init__ calls `_setup_core(...)`, sets
+    `self.params` / `self.opt_state` / data iterators, builds its jitted
+    step, then implements `train_step()`."""
+
+    project_name = "voicebox"
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def _setup_core(
+        self,
+        *,
+        num_train_steps: int,
+        num_warmup_steps: Optional[int],
+        lr: float,
+        initial_lr: float,
+        wd: float,
+        max_grad_norm: Optional[float],
+        moment_dtype,
+        ema_decay: Optional[float],
+        ema_dtype,
+        log_every: int,
+        save_results_every: int,
+        save_model_every: int,
+        results_folder,
+        force_clear_prev_results: bool,
+        checkpoint_backend: str,
+        trackers: tuple,
+        seed: int,
+    ):
+        self.steps = 0
+        self.num_train_steps = num_train_steps
+        self.num_warmup_steps = num_warmup_steps if num_warmup_steps is not None else 0
+
+        # optimizer: warmup->cosine schedule, global-norm clip, ndim<2 no-decay
+        # (reference optimizer.py:3-35 grouping)
+        self.lr = lr
+        self.initial_lr = initial_lr
+        self.wd = wd
+        schedule = warmup_cosine_schedule(
+            lr, initial_lr, self.num_warmup_steps, self.num_train_steps
+        )
+        self.optimizer = get_optimizer(
+            lr=schedule, wd=wd, max_grad_norm=max_grad_norm,
+            moment_dtype=moment_dtype, ema_decay=ema_decay, ema_dtype=ema_dtype,
+        )
+
+        self.log_every = log_every
+        self.save_results_every = save_results_every
+        self.save_model_every = save_model_every
+
+        self.results_folder = Path(results_folder)
+        if force_clear_prev_results and self.results_folder.exists():
+            import shutil
+
+            shutil.rmtree(str(self.results_folder))
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+
+        from .checkpoint import make_checkpointer
+
+        self.checkpointer = make_checkpointer(checkpoint_backend, self.results_folder)
+
+        self._metrics_path = self.results_folder / "metrics.jsonl"
+        self._trackers = tuple(trackers) if jax.process_index() == 0 else ()
+        self._loss_buffer: list = []
+        self._rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    # logging / metrics
+    # ------------------------------------------------------------------
+
+    def print(self, msg):
+        print(msg, flush=True)
+
+    def _log_metrics(self, record: dict, step: Optional[int] = None):
+        step = self.steps if step is None else step
+        record = dict(record, step=step, time=time.time())
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+        for tracker in self._trackers:
+            if callable(tracker) and not hasattr(tracker, "log"):
+                tracker(record, step)
+                continue
+            if record.get("event") == "init_trackers":
+                init = getattr(tracker, "init_trackers", None)
+                if init is not None:
+                    init(self.project_name, record["config"])
+                continue
+            log = getattr(tracker, "log", None)
+            if log is not None:
+                values = {k: v for k, v in record.items()
+                          if k not in ("step", "time")}
+                log(values, step=step)
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _flush_losses(self) -> Optional[float]:
+        """Fetch all buffered device losses in ONE transfer and write them to
+        metrics.jsonl; returns the most recent loss (or None if empty)."""
+        if not self._loss_buffer:
+            return None
+        steps_, vals = zip(*self._loss_buffer)
+        vals = np.asarray(jnp.stack(vals))  # single device->host transfer
+        for s, v in zip(steps_, vals):
+            self._log_metrics({"train_loss": float(v)}, step=s)
+        self._loss_buffer.clear()
+        return float(vals[-1])
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save(self, path):
+        self.checkpointer.save(path, self.params, self.opt_state, self.steps)
+
+    def load(self, path):
+        self.params, self.opt_state, steps = self.checkpointer.restore(
+            path, self.params, self.opt_state
+        )
+        # steps is stored in the checkpoint itself — not regexed from the
+        # filename like the reference (trainer.py:47-58)
+        self.steps = steps
+
+    @property
+    def ema_params(self):
+        """EMA param tree (None unless the trainer was built with ema_decay).
+        Lives inside opt_state, so it checkpoints/shards with no extra
+        plumbing."""
+        from .optimizer import ema_params_from_state
+
+        return ema_params_from_state(self.opt_state)
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def train_step(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _on_train_end(self):
+        """Hook: runs after the loop completes (e.g. sync params back onto
+        the model facade)."""
+
+    def train(self, log_fn=noop):
+        # an explicit log_fn keeps the old contract (a Python float per step)
+        # at the cost of a per-step fetch; the default path stays async
+        explicit_log = log_fn is not noop
+        try:
+            while self.steps < self.num_train_steps:
+                logs = self.train_step()
+                if explicit_log:
+                    log_fn({**logs, "loss": float(logs["loss"])})
+        finally:
+            self._flush_losses()  # crash/interrupt-safe up to the last step
+        self.print("training complete")
+        self.checkpointer.wait()  # flush async checkpoint writes
+        self._on_train_end()
+        for tracker in self._trackers:
+            # accelerate's end_training analogue (reference trainer.py:321)
+            finish = getattr(tracker, "finish", None)
+            if finish is not None:
+                finish()

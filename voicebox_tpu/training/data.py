@@ -28,6 +28,9 @@ import numpy as np
 __all__ = [
     "AudioDataset",
     "ArrayDataset",
+    "PairedDataset",
+    "SpeechTextDataset",
+    "PairedDataLoader",
     "load_audio",
     "pad_to_multiple",
     "collate_with_mask",
@@ -166,6 +169,145 @@ class ArrayDataset:
 
     def item_length(self, idx) -> int:
         return int(self.arrays[idx].shape[0])
+
+
+class PairedDataset:
+    """In-memory dataset of K-field tuples — (text_ids, semantic_ids) pairs
+    for the seq2seq trainer, (phoneme_ids, wave-or-latents) for the duration
+    trainer. Non-string fields coerce to numpy; strings pass through (the
+    trainers tokenize them)."""
+
+    def __init__(self, items: Sequence[tuple]):
+        self.items = [
+            tuple(f if isinstance(f, str) else np.asarray(f) for f in it)
+            for it in items
+        ]
+        assert len(self.items) > 0, "empty dataset"
+        n_fields = len(self.items[0])
+        assert all(len(it) == n_fields for it in self.items), (
+            "all items must have the same number of fields"
+        )
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+class SpeechTextDataset:
+    """Audio files paired with same-stem transcript sidecars — the standard
+    LibriTTS/LJSpeech-style layout (`x.flac` + `x.txt`) the reference pipeline
+    assumes its users bring for the text→semantic / duration stages
+    (voicebox_pytorch.py:1127-1150 consume texts alongside audio). Yields
+    `(text: str, wave: np.float32[n])`."""
+
+    def __init__(self, folder, audio_extension: str = ".flac",
+                 text_extension: str = ".txt",
+                 sample_rate: Optional[int] = None):
+        path = Path(folder)
+        assert path.exists(), "folder does not exist"
+        self.sample_rate = sample_rate
+        files = []
+        for audio in sorted(path.glob(f"**/*{audio_extension}")):
+            txt = audio.with_suffix(text_extension)
+            if txt.exists():
+                files.append((audio, txt))
+        assert len(files) > 0, (
+            f"no ({audio_extension}, {text_extension}) pairs under {folder}"
+        )
+        self.files = files
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        audio_path, txt_path = self.files[idx]
+        wave, sr = load_audio(audio_path)
+        if self.sample_rate is not None and sr != self.sample_rate:
+            from ..ops.stft import resample_np
+
+            wave = resample_np(wave, sr, self.sample_rate)
+        text = txt_path.read_text().strip()
+        return text, wave
+
+
+class PairedDataLoader:
+    """Shuffling batch iterator over K-field tuple datasets, with an
+    INDEPENDENT bucket grid per field — the static-shape requirement of the
+    seq2seq/duration trainers, where text length and audio length vary
+    independently (program count is bounded by the product of per-field
+    bucket counts, each small).
+
+    Yields a tuple of `(padded, mask)` per field. Integer fields pad with
+    `pad_values[i]` (-1 = the framework's id pad convention); float fields
+    pad with 0. 1-D int fields, 1-D waves, and 2-D `(n, d)` latents are all
+    supported (length is axis 0)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        bucket_multiples: Sequence[int],
+        pad_values: Optional[Sequence] = None,
+        max_lengths: Optional[Sequence[Optional[int]]] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.bucket_multiples = tuple(bucket_multiples)
+        k = len(self.bucket_multiples)
+        self.pad_values = tuple(pad_values) if pad_values is not None else (0,) * k
+        self.max_lengths = tuple(max_lengths) if max_lengths is not None else (None,) * k
+        assert len(self.pad_values) == k and len(self.max_lengths) == k
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+
+    def _collate_field(self, items: List[np.ndarray], multiple: int,
+                       pad_value, max_length: Optional[int]):
+        target = pad_to_multiple(max(it.shape[0] for it in items), multiple)
+        if max_length is not None and target > max_length:
+            target = max_length
+        batch = np.full(
+            (len(items), target, *items[0].shape[1:]), pad_value,
+            dtype=items[0].dtype,
+        )
+        mask = np.zeros((len(items), target), dtype=bool)
+        for i, it in enumerate(items):
+            n = min(it.shape[0], target)
+            batch[i, :n] = it[:n]
+            mask[i, :n] = True
+        return batch, mask
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                # static batch shape: wrap around rather than going ragged
+                idx = np.concatenate(
+                    [idx, np.resize(order, self.batch_size - len(idx))]
+                )
+            rows = [self.dataset[int(i)] for i in idx]
+            yield tuple(
+                self._collate_field(
+                    [np.asarray(row[f]) for row in rows],
+                    self.bucket_multiples[f], self.pad_values[f],
+                    self.max_lengths[f],
+                )
+                for f in range(len(self.bucket_multiples))
+            )
+
+    def cycle(self):
+        while True:
+            yield from iter(self)
 
 
 def random_split(dataset, valid_frac: float, seed: int = 42):

@@ -28,9 +28,6 @@ Differences from the reference, deliberate:
 
 from __future__ import annotations
 
-import json
-import time
-from pathlib import Path
 from typing import Optional
 
 import jax
@@ -41,17 +38,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.cfm import ConditionalFlowMatcherWrapper
 from ..parallel.mesh import DATA_AXIS, make_mesh
+from .base import TrainerBase, noop
 from .data import DataLoader, PrefetchLoader, random_split
-from .optimizer import get_optimizer, warmup_cosine_schedule
 
-__all__ = ["VoiceBoxTrainer"]
-
-
-def noop(*args, **kwargs):
-    pass
+__all__ = ["VoiceBoxTrainer", "noop"]
 
 
-class VoiceBoxTrainer:
+class VoiceBoxTrainer(TrainerBase):
     def __init__(
         self,
         cfm_wrapper: ConditionalFlowMatcherWrapper,
@@ -127,7 +120,6 @@ class VoiceBoxTrainer:
         self.cfm_wrapper = cfm_wrapper
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
-        self.steps = 0
 
         if split_batches is False and jax.process_count() > 1:
             import warnings
@@ -166,22 +158,19 @@ class VoiceBoxTrainer:
             "either num_train_steps or num_epochs must be specified"
         )
         if num_epochs is not None:
-            self.num_train_steps = len(dataset) // batch_size * num_epochs
-        else:
-            self.num_train_steps = num_train_steps
-        self.num_warmup_steps = num_warmup_steps if num_warmup_steps is not None else 0
+            num_train_steps = len(dataset) // batch_size * num_epochs
 
-        # optimizer: warmup->cosine schedule, global-norm clip, ndim<2 no-decay
-        self.lr = lr
-        self.initial_lr = initial_lr
-        self.wd = wd
-        schedule = warmup_cosine_schedule(
-            lr, initial_lr, self.num_warmup_steps, self.num_train_steps
-        )
-        self.optimizer = get_optimizer(
-            lr=schedule, wd=wd, max_grad_norm=max_grad_norm,
-            moment_dtype=moment_dtype, ema_decay=ema_decay,
-            ema_dtype=ema_dtype,
+        # optimizer + schedule, results folder, checkpointer, metrics/trackers
+        self._setup_core(
+            num_train_steps=num_train_steps,
+            num_warmup_steps=num_warmup_steps,
+            lr=lr, initial_lr=initial_lr, wd=wd, max_grad_norm=max_grad_norm,
+            moment_dtype=moment_dtype, ema_decay=ema_decay, ema_dtype=ema_dtype,
+            log_every=log_every, save_results_every=save_results_every,
+            save_model_every=save_model_every, results_folder=results_folder,
+            force_clear_prev_results=force_clear_prev_results,
+            checkpoint_backend=checkpoint_backend, trackers=trackers,
+            seed=seed,
         )
 
         # mesh / sharding
@@ -357,30 +346,11 @@ class VoiceBoxTrainer:
             self.dl_iter = self.dl.cycle()
             self.valid_dl_iter = self.valid_dl.cycle()
 
-        self.log_every = log_every
-        self.save_model_every = save_model_every
-        self.save_results_every = save_results_every
-
-        self.results_folder = Path(results_folder)
-        if force_clear_prev_results and self.results_folder.exists():
-            import shutil
-
-            shutil.rmtree(str(self.results_folder))
-        self.results_folder.mkdir(parents=True, exist_ok=True)
-
         # observability: jax.profiler trace window (the idiomatic replacement
         # for the reference's absent tracing hooks — SURVEY.md §5)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
 
-        from .checkpoint import make_checkpointer
-
-        self.checkpointer = make_checkpointer(checkpoint_backend, self.results_folder)
-
-        self._metrics_path = self.results_folder / "metrics.jsonl"
-        self._trackers = tuple(trackers) if jax.process_index() == 0 else ()
-        self._loss_buffer: list = []
-        self._rng = jax.random.PRNGKey(seed)
         self._loss = self._loss_callable()
         self._train_step = self._build_train_step()
         self._valid_loss = jax.jit(
@@ -397,47 +367,6 @@ class VoiceBoxTrainer:
             "wd": wd,
         }
         self._log_metrics({"event": "init_trackers", "config": self.hps})
-
-    # ------------------------------------------------------------------
-
-    def print(self, msg):
-        print(msg, flush=True)
-
-    def _log_metrics(self, record: dict, step: Optional[int] = None):
-        step = self.steps if step is None else step
-        record = dict(record, step=step, time=time.time())
-        with open(self._metrics_path, "a") as f:
-            f.write(json.dumps(record, default=float) + "\n")
-        for tracker in self._trackers:
-            if callable(tracker) and not hasattr(tracker, "log"):
-                tracker(record, step)
-                continue
-            if record.get("event") == "init_trackers":
-                init = getattr(tracker, "init_trackers", None)
-                if init is not None:
-                    init("voicebox", record["config"])
-                continue
-            log = getattr(tracker, "log", None)
-            if log is not None:
-                values = {k: v for k, v in record.items()
-                          if k not in ("step", "time")}
-                log(values, step=step)
-
-    def _next_rng(self):
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
-
-    def _flush_losses(self) -> Optional[float]:
-        """Fetch all buffered device losses in ONE transfer and write them to
-        metrics.jsonl; returns the most recent loss (or None if empty)."""
-        if not self._loss_buffer:
-            return None
-        steps_, vals = zip(*self._loss_buffer)
-        vals = np.asarray(jnp.stack(vals))  # single device->host transfer
-        for s, v in zip(steps_, vals):
-            self._log_metrics({"train_loss": float(v)}, step=s)
-        self._loss_buffer.clear()
-        return float(vals[-1])
 
     # ------------------------------------------------------------------
     # jitted train step: grad-accum scan + SPMD data parallelism
@@ -583,13 +512,8 @@ class VoiceBoxTrainer:
     # checkpointing (flax msgpack; keys mirror the reference pkg)
     # ------------------------------------------------------------------
 
-    def save(self, path):
-        self.checkpointer.save(path, self.params, self.opt_state, self.steps)
-
     def load(self, path):
-        self.params, self.opt_state, steps = self.checkpointer.restore(
-            path, self.params, self.opt_state
-        )
+        super().load(path)
         if self.mesh is not None:
             from ..parallel.sharding_rules import shard_params
 
@@ -606,9 +530,6 @@ class VoiceBoxTrainer:
                 lambda p: p.astype(dt)
                 if jnp.issubdtype(p.dtype, jnp.floating) else p, t
             ))(self.params)
-        # steps is stored in the checkpoint itself — not regexed from the
-        # filename like the reference (trainer.py:47-58)
-        self.steps = steps
 
     def load_torch(self, path):
         """Resume a REFERENCE training run on this trainer: port a reference
@@ -700,15 +621,6 @@ class VoiceBoxTrainer:
             model.update(extra_model_state)
         return save_reference_checkpoint(path, model, optim)
 
-    @property
-    def ema_params(self):
-        """EMA param tree (None unless the trainer was built with ema_decay).
-        Lives inside opt_state, so it checkpoints/shards with no extra
-        plumbing."""
-        from .optimizer import ema_params_from_state
-
-        return ema_params_from_state(self.opt_state)
-
     def generate(self, *args, use_ema: bool = False, **kwargs):
         self.cfm_wrapper.params = self.params
         if use_ema:
@@ -776,22 +688,5 @@ class VoiceBoxTrainer:
         # no accum leading axis: single-forward validation on (b, n, ...)
         return self._prepare_batch(wave, mask, flat=True)
 
-    def train(self, log_fn=noop):
-        # an explicit log_fn keeps the old contract (a Python float per step)
-        # at the cost of a per-step fetch; the default path stays async
-        explicit_log = log_fn is not noop
-        try:
-            while self.steps < self.num_train_steps:
-                logs = self.train_step()
-                if explicit_log:
-                    log_fn({**logs, "loss": float(logs["loss"])})
-        finally:
-            self._flush_losses()  # crash/interrupt-safe up to the last step
-        self.print("training complete")
-        self.checkpointer.wait()  # flush async checkpoint writes
+    def _on_train_end(self):
         self.cfm_wrapper.params = self.params
-        for tracker in self._trackers:
-            # accelerate's end_training analogue (reference trainer.py:321)
-            finish = getattr(tracker, "finish", None)
-            if finish is not None:
-                finish()

@@ -266,6 +266,57 @@ class TestMeshParity:
                                        atol=2e-5, rtol=1e-4)
 
 
+class TestSpeechTextDataset:
+    def test_pairs_audio_with_sidecar_transcripts(self, tmp_path):
+        from scipy.io import wavfile
+
+        from voicebox_tpu.training.data import SpeechTextDataset
+
+        rs = np.random.RandomState(0)
+        for i in range(3):
+            wav = (rs.randn(1600) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(tmp_path / f"utt{i}.wav", 16000, wav)
+            (tmp_path / f"utt{i}.txt").write_text(f"utterance {i}\n")
+        # an orphan audio file (no transcript) is skipped, not paired
+        wavfile.write(tmp_path / "orphan.wav", 16000,
+                      (rs.randn(800) * 0.05 * 32767).astype(np.int16))
+
+        ds = SpeechTextDataset(tmp_path, audio_extension=".wav")
+        assert len(ds) == 3
+        text, wave = ds[0]
+        assert text == "utterance 0"
+        assert wave.dtype == np.float32 and wave.shape == (1600,)
+
+    def test_trains_through_the_seq2seq_trainer(self, tmp_path):
+        from scipy.io import wavfile
+
+        from voicebox_tpu.training.data import SpeechTextDataset
+
+        rs = np.random.RandomState(1)
+        for i in range(6):
+            n = int(rs.randint(700, 1600))
+            wav = (rs.randn(n) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(tmp_path / f"u{i}.wav", 16000, wav)
+            (tmp_path / f"u{i}.txt").write_text(f"sample text {i}")
+
+        t2s = TextToSemantic(
+            dim=32, num_semantic_token_ids=VOCAB_SEM,
+            source_depth=2, target_depth=1, heads=2, dim_head=16,
+        )
+        t2s.init_params(jax.random.PRNGKey(0))
+        t2s.wav2vec = _FakeWav2Vec()
+        tr = TextToSemanticTrainer(
+            t2s, batch_size=2,
+            dataset=SpeechTextDataset(tmp_path, audio_extension=".wav"),
+            num_train_steps=2, valid_frac=0.25, use_mesh=False,
+            results_folder=str(tmp_path / "r"),
+            text_bucket_multiple=8, semantic_bucket_multiple=2,
+            prefetch_batches=0,
+        )
+        tr.train()
+        assert tr.steps == 2
+
+
 class TestTextTokenization:
     def test_str_texts_tokenize_through_model_tokenizer(self, tmp_path):
         t2s = TextToSemantic(

@@ -365,6 +365,97 @@ class TestConditionalTraining:
         tr.train()
         assert tr.steps == 2
 
+    def test_paired_precomputed_cond_ids(self, tmp_path, rng):
+        """Training a conditional model from (latents, frame-aligned ids)
+        pairs — the duration pipeline's aligned-phoneme conditioning
+        (reference voicebox_pytorch.py:1231-1241) with features extracted
+        offline. Both fields must ride ONE shared bucket grid so padding
+        keeps the ids frame-aligned."""
+        from voicebox_tpu.training.data import AlignedPairedDataLoader
+
+        n_ids, dim_in = 20, 8
+        vb = VoiceBox(dim_in=dim_in, dim=32, depth=2, dim_head=8, heads=4,
+                      dim_cond_emb=16, num_register_tokens=2,
+                      condition_on_text=True, num_cond_tokens=n_ids)
+        cfm = ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.2)
+        cfm.init_params(rng, seq_len=16, batch=2)
+
+        rs = np.random.RandomState(0)
+        items = []
+        for _ in range(8):
+            n = int(rs.randint(10, 30))
+            items.append((
+                rs.randn(n, dim_in).astype(np.float32),
+                rs.randint(0, n_ids, n).astype(np.int32),
+            ))
+
+        tr = VoiceBoxTrainer(
+            cfm, batch_size=2, dataset=items, num_train_steps=3,
+            valid_frac=0.25, results_folder=str(tmp_path / "res"),
+            bucket_multiple=16, use_mesh=False, prefetch_batches=0,
+        )
+        assert tr._paired_cond_ids
+        tr.train()
+        assert tr.steps == 3
+
+        # the shared grid: ids and latents collate to the SAME target; the
+        # register-offset grid applies to both
+        dl = AlignedPairedDataLoader(items, 4, bucket_multiple=16,
+                                     bucket_offset=2)
+        (x, mask), (ids, mask2) = next(iter(dl))
+        assert x.shape[1] == ids.shape[1]
+        assert mask is mask2
+        assert (x.shape[1] + 2) % 16 == 0 or x.shape[1] % 16 == 0
+
+        # unaligned pairs refuse loudly
+        bad = [(np.zeros((12, dim_in), np.float32),
+                np.zeros((7,), np.int32))]
+        with pytest.raises(AssertionError, match="equal lengths"):
+            next(iter(AlignedPairedDataLoader(bad, 1, bucket_multiple=16)))
+
+        # raw-audio first fields refuse paired mode (ids derive via wav2vec)
+        with pytest.raises(AssertionError, match="LATENTS"):
+            VoiceBoxTrainer(
+                cfm, batch_size=2, num_train_steps=1, valid_frac=0.25,
+                dataset=[(np.zeros(64, np.float32),
+                          np.zeros(4, np.int32))] * 8,
+                results_folder=str(tmp_path / "res2"), use_mesh=False,
+            )
+
+    def test_paired_ids_actually_condition_the_loss(self, tmp_path, rng):
+        """The ids reaching the jitted step must MATTER: the same trainer fed
+        constant ids vs per-item ids diverges after a few steps."""
+        n_ids, dim_in = 20, 8
+
+        def run(use_real_ids):
+            vb = VoiceBox(dim_in=dim_in, dim=32, depth=2, dim_head=8,
+                          heads=4, dim_cond_emb=16, num_register_tokens=2,
+                          condition_on_text=True, num_cond_tokens=n_ids)
+            cfm = ConditionalFlowMatcherWrapper(vb, cond_drop_prob=0.0)
+            cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=2)
+            rs = np.random.RandomState(1)
+            items = []
+            for _ in range(8):
+                n = int(rs.randint(10, 30))
+                ids = rs.randint(0, n_ids, n) if use_real_ids else np.zeros(n)
+                items.append((rs.randn(n, dim_in).astype(np.float32),
+                              ids.astype(np.int32)))
+            tr = VoiceBoxTrainer(
+                cfm, batch_size=2, dataset=items, num_train_steps=2,
+                valid_frac=0.25, use_mesh=False, prefetch_batches=0,
+                results_folder=str(tmp_path / f"r{use_real_ids}"),
+                bucket_multiple=16, seed=3,
+            )
+            tr.train()
+            return tr.params
+
+        pa, pb = run(True), run(False)
+        deltas = [
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb))
+        ]
+        assert max(deltas) > 1e-6  # the conditioning ids changed the updates
+
 
 class TestOrbaxCheckpoint:
     def test_orbax_save_restore_roundtrip(self, tmp_path, rng):

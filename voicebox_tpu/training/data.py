@@ -31,6 +31,7 @@ __all__ = [
     "PairedDataset",
     "SpeechTextDataset",
     "PairedDataLoader",
+    "AlignedPairedDataLoader",
     "load_audio",
     "pad_to_multiple",
     "collate_with_mask",
@@ -230,6 +231,80 @@ class SpeechTextDataset:
             wave = resample_np(wave, sr, self.sample_rate)
         text = txt_path.read_text().strip()
         return text, wave
+
+
+class AlignedPairedDataLoader:
+    """Batches `(latents, frame_aligned_cond_ids)` pairs on ONE shared bucket
+    grid — both fields pad to the same target length so the conditioning ids
+    keep their frame alignment (padding them to independent grids would
+    stretch the ids relative to the latents when the model interpolates the
+    conditioning embedding to the latent length). This is VoiceBoxTrainer's
+    precomputed-conditioning mode: training the CFM denoiser on aligned
+    phoneme ids (the duration pipeline, reference voicebox_pytorch.py:
+    1231-1241) or offline-extracted semantic ids resampled to frame rate.
+
+    Yields `((latents, mask), (ids, mask))` — one mask, since lengths are
+    equal by contract (asserted per item). Uses the same register-offset
+    bucket grid as `DataLoader` (`_bucket_target`)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        bucket_multiple: int = 256,
+        bucket_offset: int = 0,
+        align_multiple: int = 128,
+        max_length: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.bucket_multiple = bucket_multiple
+        self.bucket_offset = bucket_offset
+        self.align_multiple = align_multiple
+        self.max_length = max_length
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                idx = np.concatenate(
+                    [idx, np.resize(order, self.batch_size - len(idx))]
+                )
+            rows = [self.dataset[int(i)] for i in idx]
+            for x, ids in rows:
+                assert np.shape(x)[0] == np.shape(ids)[0], (
+                    f"aligned pairs must have equal lengths per item, got "
+                    f"latents {np.shape(x)[0]} vs ids {np.shape(ids)[0]}"
+                )
+            target = _bucket_target(
+                max(np.shape(x)[0] for x, _ in rows),
+                self.bucket_multiple, self.bucket_offset, self.align_multiple,
+            )
+            if self.max_length is not None and target > self.max_length:
+                target = self.max_length
+            xs, mask = collate_with_mask(
+                [np.asarray(x) for x, _ in rows], force_target=target
+            )
+            ids = np.zeros((len(rows), target), dtype=np.int32)
+            for i, (_, row_ids) in enumerate(rows):
+                m = min(np.shape(row_ids)[0], target)
+                ids[i, :m] = np.asarray(row_ids)[:m]
+            yield (xs, mask), (ids, mask)
+
+    def cycle(self):
+        while True:
+            yield from iter(self)
 
 
 class PairedDataLoader:

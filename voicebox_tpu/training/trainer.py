@@ -271,11 +271,39 @@ class VoiceBoxTrainer(TrainerBase):
         # audio datasets the offset is expressed in samples via the codec's
         # sample->frame mapping (frames = n // downsample + frame_offset; the
         # +1 of center=True STFT codecs is folded into the offset).
+        # precomputed-conditioning mode: dataset items are
+        # (latents (n, d), frame-aligned cond ids (n,)) pairs — the duration
+        # pipeline's aligned-phoneme training (reference voicebox_pytorch.py:
+        # 1231-1241 conditions on aligned ids) or offline-extracted semantic
+        # ids resampled to frame rate. Both fields ride ONE shared bucket
+        # grid (data.py::AlignedPairedDataLoader) so the ids keep their
+        # frame alignment through padding.
+        probe_item = dataset[0]
+        self._paired_cond_ids = (
+            isinstance(probe_item, (tuple, list)) and len(probe_item) == 2
+        )
+        if self._paired_cond_ids:
+            first, second = (np.asarray(f) for f in probe_item)
+            assert first.ndim == 2, (
+                "paired datasets must carry precomputed LATENTS (n, d) in the "
+                "first field; raw-audio datasets derive conditioning ids "
+                "through text_to_semantic.wav2vec instead"
+            )
+            assert second.ndim == 1 and np.issubdtype(second.dtype, np.integer), (
+                "second field must be 1-D integer conditioning ids"
+            )
+            assert jax.process_count() == 1, (
+                "paired-conditioning datasets are single-controller (the "
+                "process-sharded loader covers audio datasets only)"
+            )
+
         align_multiple = 128
         if bucket_offset is None:
             reg = int(getattr(cfm_wrapper.voicebox, "num_register_tokens", 0) or 0)
             codec = cfm_wrapper.voicebox.audio_enc_dec
-            raw_audio_ds = np.asarray(dataset[0]).ndim == 1
+            raw_audio_ds = (
+                not self._paired_cond_ids and np.asarray(dataset[0]).ndim == 1
+            )
             if raw_audio_ds and codec is not None:
                 ds_factor = int(codec.downsample_factor)
                 frame_off = int(getattr(codec, "frame_offset", 0))
@@ -323,20 +351,36 @@ class VoiceBoxTrainer(TrainerBase):
                 f"batch_size {micro_bs} must divide over {world} processes"
             )
             shard = (jax.process_index(), world)
-        self.dl = DataLoader(
-            self.ds, batch_size=micro_bs * grad_accum_every, shuffle=True, seed=seed,
-            bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
-            bucket_offset=bucket_offset, align_multiple=align_multiple,
-            shard=shard, shard_group_size=micro_bs,
-        )
-        # valid batches are consumed FLAT (one (b, n, ...) forward), so the
-        # whole batch is one contiguous shard group over the data axis
-        self.valid_dl = DataLoader(
-            self.valid_ds, batch_size=micro_bs, shuffle=True, seed=seed + 1,
-            bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
-            bucket_offset=bucket_offset, align_multiple=align_multiple,
-            shard=shard,
-        )
+        if self._paired_cond_ids:
+            from .data import AlignedPairedDataLoader
+
+            self.dl = AlignedPairedDataLoader(
+                self.ds, batch_size=micro_bs * grad_accum_every, seed=seed,
+                bucket_multiple=bucket_multiple, max_length=max_length,
+                drop_last=drop_last, bucket_offset=bucket_offset,
+                align_multiple=align_multiple,
+            )
+            self.valid_dl = AlignedPairedDataLoader(
+                self.valid_ds, batch_size=micro_bs, seed=seed + 1,
+                bucket_multiple=bucket_multiple, max_length=max_length,
+                drop_last=drop_last, bucket_offset=bucket_offset,
+                align_multiple=align_multiple,
+            )
+        else:
+            self.dl = DataLoader(
+                self.ds, batch_size=micro_bs * grad_accum_every, shuffle=True, seed=seed,
+                bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
+                bucket_offset=bucket_offset, align_multiple=align_multiple,
+                shard=shard, shard_group_size=micro_bs,
+            )
+            # valid batches are consumed FLAT (one (b, n, ...) forward), so the
+            # whole batch is one contiguous shard group over the data axis
+            self.valid_dl = DataLoader(
+                self.valid_ds, batch_size=micro_bs, shuffle=True, seed=seed + 1,
+                bucket_multiple=bucket_multiple, max_length=max_length, drop_last=drop_last,
+                bucket_offset=bucket_offset, align_multiple=align_multiple,
+                shard=shard,
+            )
         if prefetch_batches > 0:
             # overlap host decode/collation with device compute
             # (reference: torch DataLoader workers, data.py:89-91)
@@ -436,16 +480,18 @@ class VoiceBoxTrainer(TrainerBase):
         return jax.jit(mixed_step, donate_argnums=(0, 1, 2))
 
     def _prepare_batch(self, wave: np.ndarray, mask: np.ndarray,
-                       flat: bool = False):
+                       flat: bool = False, cond_ids=None):
         """Encode raw audio through the frozen codec (and, for semantic
         conditioning, derive HuBERT token ids) and reshape to
         (accum, micro_bs, ...). Encoding happens outside the train step under
         stop_gradient — the analogue of the reference's no_grad eval encode
         (voicebox_pytorch.py:1356-1371); the wav2vec semantic-id derivation
-        mirrors voicebox_pytorch.py:1384-1389."""
+        mirrors voicebox_pytorch.py:1384-1389. Precomputed frame-aligned
+        `cond_ids` (paired datasets) pass through instead of deriving."""
         x = jnp.asarray(wave)
         codec = self.cfm_wrapper.voicebox.audio_enc_dec
-        cond_ids = None
+        if cond_ids is not None:
+            cond_ids = jnp.asarray(cond_ids, dtype=jnp.int32)
         if x.ndim == 2 and codec is not None:  # raw audio (b, n_samples)
             raw = x
             lengths = mask.sum(axis=-1)
@@ -643,8 +689,8 @@ class VoiceBoxTrainer(TrainerBase):
                 jax.profiler.stop_trace()
                 self.print(f"{steps}: profiler trace written to {self.profile_dir}")
 
-        wave, mask = next(self.dl_iter)
-        x, m, cond_ids = self._prepare_batch(wave, mask)
+        wave, mask, pair_ids = self._next_item(self.dl_iter)
+        x, m, cond_ids = self._prepare_batch(wave, mask, cond_ids=pair_ids)
 
         if self._param_dtype is not None:
             self._live, self.params, self.opt_state, loss = self._train_step(
@@ -667,8 +713,10 @@ class VoiceBoxTrainer(TrainerBase):
             self.print(f"{steps}: loss: {self._flush_losses():0.3f}")
 
         if steps % self.save_results_every == 0:
-            wave, mask = next(self.valid_dl_iter)
-            x, m, v_ids = self._prepare_batch_flat(wave, mask)
+            wave, mask, v_pair_ids = self._next_item(self.valid_dl_iter)
+            x, m, v_ids = self._prepare_batch(
+                wave, mask, flat=True, cond_ids=v_pair_ids
+            )
             valid_loss = float(
                 self._valid_loss(self.params, x, m, v_ids, jax.random.PRNGKey(steps))
             )
@@ -683,6 +731,17 @@ class VoiceBoxTrainer(TrainerBase):
 
         self.steps += 1
         return logs
+
+    def _next_item(self, iterator):
+        """Normalise loader items to (wave_or_latents, mask, pair_ids):
+        paired-conditioning loaders yield ((x, mask), (ids, mask)); audio
+        loaders yield (x, mask)."""
+        item = next(iterator)
+        if self._paired_cond_ids:
+            (wave, mask), (pair_ids, _) = item
+            return wave, mask, pair_ids
+        wave, mask = item
+        return wave, mask, None
 
     def _prepare_batch_flat(self, wave, mask):
         # no accum leading axis: single-forward validation on (b, n, ...)

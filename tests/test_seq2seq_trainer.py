@@ -157,6 +157,41 @@ class TestIdPairTraining:
                                        atol=2e-5, rtol=1e-4)
 
 
+class TestFunctionalGeneration:
+    def test_trained_model_reproduces_memorized_mapping(self, tmp_path):
+        """The strongest functional check: overfit 2 fixed (text, semantic)
+        pairs, then greedy `generate` must emit each target sequence EXACTLY,
+        stopping at the taught EOS position (mask False afterwards)."""
+        t2s = _t2s()
+        rs = np.random.RandomState(42)
+        pairs = [
+            (rs.randint(0, VOCAB_TEXT, 6).astype(np.int32),
+             rs.randint(0, VOCAB_SEM, 9).astype(np.int32)),
+            (rs.randint(0, VOCAB_TEXT, 6).astype(np.int32),
+             rs.randint(0, VOCAB_SEM, 9).astype(np.int32)),
+        ]
+        tr = TextToSemanticTrainer(
+            t2s, batch_size=2, dataset=PairedDataset(pairs),
+            num_train_steps=150, valid_frac=0.0, lr=3e-3,
+            results_folder=str(tmp_path / "r"), use_mesh=False,
+            text_bucket_multiple=8, semantic_bucket_multiple=16,
+            prefetch_batches=0, save_model_every=10**6,
+            save_results_every=10**6,
+        )
+        tr.train()
+
+        text = np.stack([np.asarray(p[0]) for p in pairs])
+        ids, mask = tr.generate(
+            jnp.asarray(text), max_length=16,
+            return_target_mask=True, temperature=0.0,
+        )
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        for i, (_, target) in enumerate(pairs):
+            n = len(target)
+            assert mask[i, :n].all() and not mask[i, n:].any(), mask[i]
+            np.testing.assert_array_equal(ids[i, :n], target)
+
+
 class _FakeWav2Vec:
     """Contract double for HubertWithKmeans: the trainer only consumes
     __call__, num_frames, downsample_factor, codebook_size."""

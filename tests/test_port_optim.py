@@ -117,6 +117,17 @@ def run3(tmp_path_factory):
     return run, str(path)
 
 
+def test_accepts_pathlike(run3):
+    """A pathlib.Path is the idiomatic way to hold a checkpoint path — it
+    must torch.load like a str, not be mistaken for an in-memory pkg dict."""
+    from pathlib import Path
+
+    run, path = run3
+    template = _template(_flax_model())
+    mu, nu, count = load_optimizer_torch(Path(path), template)
+    assert count == 3
+
+
 def test_moment_port_mapping_exact(run3):
     """Ported mu/nu leaves equal the torch exp_avg/exp_avg_sq under the same
     layout transposes as the weights (checked against torch's state keyed by

@@ -52,6 +52,34 @@ def _trainer(tmp_path, t2s, dataset, steps=3, **kw):
     )
 
 
+class TestEpochMath:
+    def test_epochs_account_for_accum_and_split(self):
+        # one epoch = ONE pass over the training split: each optimizer step
+        # consumes batch_size * grad_accum_every items (the reference's
+        # formula, trainer.py:141, would train grad_accum_every x as long)
+        from voicebox_tpu.training.base import TrainerBase
+
+        f = TrainerBase._steps_from_epochs
+        assert f(1, 1000, 8, 4, 0.0) == 1000 // 32
+        assert f(2, 1000, 8, 1, 0.0) == 250
+        # the valid split comes off the top, exactly as random_split sizes it
+        assert f(1, 1000, 8, 4, 0.05) == int(0.95 * 1000) // 32
+        # tiny datasets floor at one step per epoch
+        assert f(3, 10, 8, 4, 0.0) == 3
+
+    def test_trainer_uses_split_and_accum(self, tmp_path):
+        t2s = _t2s()
+        tr = TextToSemanticTrainer(
+            t2s, batch_size=2, dataset=_id_pairs(n=12), num_epochs=2,
+            grad_accum_every=2, valid_frac=0.25, use_mesh=False,
+            results_folder=str(tmp_path / "r"),
+            text_bucket_multiple=8, semantic_bucket_multiple=8,
+            prefetch_batches=0,
+        )
+        # 12 items -> 9 train; 9 // (2*2) = 2 steps/epoch * 2 epochs
+        assert tr.num_train_steps == 4
+
+
 class TestPairedDataLoader:
     def test_independent_bucket_grids(self):
         ds = PairedDataset(_id_pairs())

@@ -307,6 +307,49 @@ class TestDynamicBatcher:
             f"{_COMPILES.count - before} XLA compiles on the batched path"
         )
 
+    def test_close_timeout_leaves_sentinel_for_live_worker(self):
+        """A close() whose join times out mid-batch must NOT eat the
+        shutdown sentinel out of the queue — the still-running worker needs
+        it to exit, else it blocks on queue.get() forever (a leaked daemon
+        thread pinning the engine/params in a long-lived server)."""
+        import threading
+
+        from voicebox_tpu.serving import DynamicBatcher
+
+        release = threading.Event()
+        entered = threading.Event()
+
+        class _Tok:
+            def texts_to_tensor_ids(self, texts):
+                return np.array([[1] * len(t) for t in texts])
+
+        class _Eng:
+            batch_buckets = (4,)
+            text_buckets = (8,)
+
+            def _tokenizer(self):
+                return _Tok()
+
+            def _bucket(self, n, buckets):
+                return 0
+
+            def synthesize(self, texts, rng=None, trim=True):
+                entered.set()
+                assert release.wait(timeout=30)
+                return [np.zeros(3) for _ in texts]
+
+        b = DynamicBatcher(_Eng(), max_wait_ms=1.0)
+        fut = b.submit("hello")
+        assert entered.wait(timeout=10)
+        # worker is blocked inside synthesize: this join MUST time out
+        b.close(timeout=0.05)
+        release.set()
+        # the in-flight request still resolves, and the worker then consumes
+        # the (re-put) sentinel and exits
+        assert fut.result(timeout=10).shape == (3,)
+        b._thread.join(timeout=10)
+        assert not b._thread.is_alive(), "worker leaked: sentinel was eaten"
+
     def test_exception_propagates_to_futures(self, engine):
         engine.warmup()
         b = self._batcher(engine, max_wait_ms=1.0)

@@ -64,6 +64,27 @@ class TestData:
         assert batch.shape == (1, 752, 4)
         assert mask.sum() == 752  # curtailed to the cap
 
+    def test_aligned_loader_max_length_snaps_and_pads_with_minus_one(self):
+        # the paired-conditioning loader applies the SAME offset-grid snap
+        # as collate_with_mask (a legacy 768 cap with 16 registers must land
+        # on 752, not 768) and pads ids with -1, the framework-wide id pad
+        from voicebox_tpu.training.data import AlignedPairedDataLoader
+
+        rs = np.random.RandomState(0)
+        items = [
+            (rs.randn(n, 4).astype(np.float32),
+             rs.randint(0, 20, n).astype(np.int32))
+            for n in (1000, 300)
+        ]
+        dl = AlignedPairedDataLoader(
+            items, 2, bucket_multiple=256, bucket_offset=16, max_length=768,
+            shuffle=False,
+        )
+        (x, mask), (ids, _) = next(iter(dl))
+        assert x.shape[1] == 752 and ids.shape[1] == 752
+        assert np.all(ids[~mask] == -1)
+        assert np.all(ids[mask] >= 0)
+
     def test_trainer_auto_bucket_offset_latents(self, tmp_path, rng):
         # latent dataset + 2 register tokens -> buckets at k*64 - 2
         vb = VoiceBox(dim_in=8, dim=32, depth=2, dim_head=8, heads=4,

@@ -727,8 +727,10 @@ class DynamicBatcher:
                 return
             self._closed = True
             self._queue.put(self._SENTINEL)
+        worker_alive = False
         if self._thread is not None:
             self._thread.join(timeout)
+            worker_alive = self._thread.is_alive()
         # belt-and-braces: if anything is still queued after the worker exits
         # (e.g. the join timed out mid-batch), cancel those futures so no
         # caller blocks forever in result()
@@ -737,9 +739,17 @@ class DynamicBatcher:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not self._SENTINEL:
-                _, fut = item
-                fut.set_exception(RuntimeError("DynamicBatcher closed"))
+            if item is self._SENTINEL:
+                if worker_alive:
+                    # the join timed out mid-batch: the worker still needs
+                    # the sentinel to shut down — put it back and stop
+                    # draining (eating it would leave the worker blocked on
+                    # queue.get() forever)
+                    self._queue.put(item)
+                    break
+                continue
+            _, fut = item
+            fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def __enter__(self):
         return self.start()

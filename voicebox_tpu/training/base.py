@@ -35,7 +35,7 @@ import optax
 
 from .optimizer import get_optimizer, warmup_cosine_schedule
 
-__all__ = ["TrainerBase", "build_accum_train_step", "noop"]
+__all__ = ["TrainerBase", "StageTrainer", "build_accum_train_step", "noop"]
 
 
 def noop(*args, **kwargs):
@@ -88,6 +88,21 @@ class TrainerBase:
     step, then implements `train_step()`."""
 
     project_name = "voicebox"
+
+    @staticmethod
+    def _steps_from_epochs(num_epochs: int, dataset_len: int,
+                           batch_size: int, grad_accum_every: int,
+                           valid_frac: float) -> int:
+        """num_epochs -> optimizer steps. One epoch = one pass over the
+        TRAINING split; each optimizer step consumes
+        `batch_size * grad_accum_every` items. (The reference's formula,
+        trainer.py:141, ignores both the accumulation factor and the valid
+        split, so num_epochs=1 with grad_accum_every=4 silently trains 4
+        passes — fixed here like the other reference trainer bugs,
+        PARITY.md.) The train-split size matches `random_split` exactly."""
+        n_train = (int((1 - valid_frac) * dataset_len)
+                   if valid_frac > 0 else dataset_len)
+        return max(1, n_train // (batch_size * grad_accum_every)) * num_epochs
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -248,3 +263,146 @@ class TrainerBase:
             finish = getattr(tracker, "finish", None)
             if finish is not None:
                 finish()
+
+
+class StageTrainer(TrainerBase):
+    """Shared machinery for the single-model STAGE trainers
+    (`TextToSemanticTrainer`, `DurationPredictorTrainer`): a
+    single-controller DP mesh, per-field-bucketed paired loaders, hps
+    tracker init, and the buffered-loss step/valid/save loop.
+
+    Subclasses implement `_prepare_batch(fields, flat=False)` (loader fields
+    -> the jitted step's array tuple, device_put to
+    `self._batch_sharding`/`self._flat_sharding`), set `ckpt_prefix`, and
+    build `self._train_step(params, opt_state, rng, *arrays)` /
+    `self._valid_loss(params, rng, *arrays)` jitted callables."""
+
+    ckpt_prefix = "model"
+
+    # ---------------------------------------------------------------- setup
+
+    def _setup_data_mesh(self, mesh, use_mesh: bool, batch_size: int):
+        """DP mesh: micro-batch over the 'data' axis, params replicated
+        (gradient psum inserted by XLA, riding ICI). Stage trainers are
+        single-controller; for multi-host pipelines adapt VoiceBoxTrainer's
+        process-sharded loader (or pretrain these smaller stages
+        single-host)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, make_mesh
+
+        assert jax.process_count() == 1, (
+            f"{type(self).__name__} is single-controller; for multi-host "
+            "pipelines pretrain this stage single-host (the stage models "
+            "are the smallest in the stack) or adapt VoiceBoxTrainer's "
+            "loader"
+        )
+        if mesh is None and use_mesh and len(jax.devices()) > 1:
+            mesh = make_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            assert batch_size % n_data == 0, (
+                f"batch_size {batch_size} must divide the data axis {n_data}"
+            )
+            self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+            self._flat_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        else:
+            self._batch_sharding = None
+            self._flat_sharding = None
+
+    def _setup_paired_loaders(
+        self, dataset, tokenizer, *, batch_size: int, grad_accum_every: int,
+        valid_frac: float, random_split_seed: int, seed: int,
+        bucket_multiples, pad_values, max_lengths, prefetch_batches: int,
+    ):
+        """Tokenize-view + valid split + per-field-bucketed loaders +
+        prefetch — identical across the stage trainers."""
+        from .data import (
+            PairedDataLoader,
+            PrefetchLoader,
+            TokenizedTextDataset,
+            random_split,
+        )
+
+        self.ds = TokenizedTextDataset(dataset, tokenizer)
+        if valid_frac > 0:
+            self.ds, self.valid_ds = random_split(
+                self.ds, valid_frac, random_split_seed
+            )
+            self.print(
+                f"training with dataset of {len(self.ds)} samples and "
+                f"validating with randomly splitted {len(self.valid_ds)} "
+                "samples"
+            )
+        else:
+            self.valid_ds = self.ds
+        assert len(self.ds) >= batch_size and len(self.valid_ds) >= batch_size
+
+        def loader(ds, bs, shuffle_seed):
+            return PairedDataLoader(
+                ds, bs,
+                bucket_multiples=tuple(bucket_multiples),
+                pad_values=tuple(pad_values),
+                max_lengths=tuple(max_lengths),
+                seed=shuffle_seed,
+            )
+
+        self.dl = loader(self.ds, batch_size * grad_accum_every, seed)
+        self.valid_dl = loader(self.valid_ds, batch_size, seed + 1)
+        if prefetch_batches > 0:
+            self.dl_iter = PrefetchLoader(self.dl, prefetch_batches).cycle()
+            self.valid_dl_iter = PrefetchLoader(self.valid_dl, 1).cycle()
+        else:
+            self.dl_iter = self.dl.cycle()
+            self.valid_dl_iter = self.valid_dl.cycle()
+
+    def _log_init_hps(self):
+        """Standard hps record + tracker init (reference
+        trainer.py:182-189)."""
+        self.hps = {
+            "num_train_steps": self.num_train_steps,
+            "num_warmup_steps": self.num_warmup_steps,
+            "learning_rate": self.lr,
+            "initial_learning_rate": self.initial_lr,
+            "wd": self.wd,
+        }
+        self._log_metrics({"event": "init_trackers", "config": self.hps})
+
+    # ----------------------------------------------------------------- loop
+
+    def _prepare_batch(self, fields, flat: bool = False):  # pragma: no cover
+        raise NotImplementedError
+
+    def train_step(self):
+        steps = self.steps
+        arrays = self._prepare_batch(next(self.dl_iter))
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, self._next_rng(), *arrays
+        )
+        # loss stays on device; buffered fetch at the log boundary (see
+        # _flush_losses)
+        self._loss_buffer.append((steps, loss))
+        logs = {"loss": loss}
+
+        if steps % self.log_every == 0:
+            self.print(f"{steps}: loss: {self._flush_losses():0.3f}")
+
+        if steps % self.save_results_every == 0:
+            v = self._prepare_batch(next(self.valid_dl_iter), flat=True)
+            valid_loss = float(
+                self._valid_loss(self.params, jax.random.PRNGKey(steps), *v)
+            )
+            self.print(f"{steps}: valid loss {valid_loss:0.3f}")
+            self._log_metrics({"valid_loss": valid_loss})
+
+        if steps % self.save_model_every == 0:
+            self._flush_losses()
+            path = str(
+                self.results_folder / f"{self.ckpt_prefix}.{steps}.ckpt"
+            )
+            self.save(path)
+            self.print(f"{steps}: saving model to {str(self.results_folder)}")
+
+        self.steps += 1
+        return logs

@@ -38,6 +38,7 @@ __all__ = [
     "get_dataloader",
     "DataLoader",
     "PrefetchLoader",
+    "TokenizedTextDataset",
     "random_split",
 ]
 
@@ -292,11 +293,20 @@ class AlignedPairedDataLoader:
                 self.bucket_multiple, self.bucket_offset, self.align_multiple,
             )
             if self.max_length is not None and target > self.max_length:
-                target = self.max_length
+                # snap the cap DOWN onto the offset grid (same rule as
+                # collate_with_mask) so a legacy k*multiple max_length with
+                # bucket_offset>0 doesn't silently reintroduce the
+                # misaligned post-register tile the grid exists to avoid
+                snapped = ((self.max_length + self.bucket_offset)
+                           // self.bucket_multiple * self.bucket_multiple
+                           - self.bucket_offset)
+                target = snapped if 0 < snapped else self.max_length
             xs, mask = collate_with_mask(
                 [np.asarray(x) for x, _ in rows], force_target=target
             )
-            ids = np.zeros((len(rows), target), dtype=np.int32)
+            # -1 = the framework's id pad convention (see PairedDataLoader);
+            # pad positions must not carry a real vocabulary id (0)
+            ids = np.full((len(rows), target), -1, dtype=np.int32)
             for i, (_, row_ids) in enumerate(rows):
                 m = min(np.shape(row_ids)[0], target)
                 ids[i, :m] = np.asarray(row_ids)[:m]
@@ -407,6 +417,38 @@ class _Subset:
 
     def item_length(self, idx) -> int:
         return _item_length(self.dataset, self.indices[idx])
+
+
+class TokenizedTextDataset:
+    """Dataset view over K-field tuple items: a str FIRST field tokenizes to
+    a pad-free int32 id array (cached — host string work runs once per item,
+    not once per epoch); every other field passes through as an np array.
+    Shared by the stage trainers (`StageTrainer._setup_paired_loaders`)."""
+
+    def __init__(self, dataset, tokenizer):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        row = self.dataset[idx]
+        first, rest = row[0], row[1:]
+        if isinstance(first, str):
+            ids = self._cache.get(idx)
+            if ids is None:
+                assert self.tokenizer is not None, (
+                    "dataset yields raw text but the model has no tokenizer"
+                )
+                arr = np.asarray(
+                    self.tokenizer.texts_to_tensor_ids([first]),
+                    dtype=np.int32,
+                )[0]
+                ids = self._cache[idx] = arr[arr != -1]
+            first = ids
+        return (np.asarray(first), *(np.asarray(f) for f in rest))
 
 
 def _item_length(dataset, idx) -> int:

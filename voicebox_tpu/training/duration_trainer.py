@@ -32,46 +32,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, make_mesh
-from .base import TrainerBase, build_accum_train_step
-from .data import PairedDataLoader, PrefetchLoader, random_split
+from .base import StageTrainer, build_accum_train_step
 
 __all__ = ["DurationPredictorTrainer"]
 
 
-class _TokenizedDurationItems:
-    """Dataset view tokenizing str first fields to phoneme id arrays
-    (cached)."""
-
-    def __init__(self, dataset, tokenizer):
-        self.dataset = dataset
-        self.tokenizer = tokenizer
-        self._cache: dict = {}
-
-    def __len__(self):
-        return len(self.dataset)
-
-    def __getitem__(self, idx):
-        row = self.dataset[idx]
-        first, rest = row[0], row[1:]
-        if isinstance(first, str):
-            ids = self._cache.get(idx)
-            if ids is None:
-                assert self.tokenizer is not None, (
-                    "dataset yields raw text but the predictor has no tokenizer"
-                )
-                arr = np.asarray(
-                    self.tokenizer.texts_to_tensor_ids([first]), dtype=np.int32
-                )[0]
-                ids = self._cache[idx] = arr[arr != -1]
-            first = ids
-        return (np.asarray(first), *(np.asarray(f) for f in rest))
-
-
-class DurationPredictorTrainer(TrainerBase):
+class DurationPredictorTrainer(StageTrainer):
     project_name = "duration_predictor"
+    ckpt_prefix = "duration"
 
     def __init__(
         self,
@@ -121,7 +90,10 @@ class DurationPredictorTrainer(TrainerBase):
             "either num_train_steps or num_epochs must be specified"
         )
         if num_epochs is not None:
-            num_train_steps = len(dataset) // batch_size * num_epochs
+            num_train_steps = self._steps_from_epochs(
+                num_epochs, len(dataset), batch_size, grad_accum_every,
+                valid_frac,
+            )
         self._setup_core(
             num_train_steps=num_train_steps,
             num_warmup_steps=num_warmup_steps,
@@ -134,23 +106,7 @@ class DurationPredictorTrainer(TrainerBase):
             seed=seed,
         )
 
-        assert jax.process_count() == 1, (
-            "DurationPredictorTrainer is single-controller (see "
-            "TextToSemanticTrainer for the rationale)"
-        )
-        if mesh is None and use_mesh and len(jax.devices()) > 1:
-            mesh = make_mesh()
-        self.mesh = mesh
-        if mesh is not None:
-            n_data = mesh.shape[DATA_AXIS]
-            assert batch_size % n_data == 0, (
-                f"batch_size {batch_size} must divide the data axis {n_data}"
-            )
-            self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-            self._flat_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        else:
-            self._batch_sharding = None
-            self._flat_sharding = None
+        self._setup_data_mesh(mesh, use_mesh, batch_size)
         self.opt_state = jax.jit(self.optimizer.init)(self.params)
 
         # dataset shape: 2-field (cond source doubles as mel) or 3-field
@@ -198,34 +154,14 @@ class DurationPredictorTrainer(TrainerBase):
             pads.append(0.0)
             maxes.append(max_frame_len)
 
-        self.ds = _TokenizedDurationItems(dataset, duration_predictor.tokenizer)
-        if valid_frac > 0:
-            self.ds, self.valid_ds = random_split(
-                self.ds, valid_frac, random_split_seed
-            )
-            self.print(
-                f"training with dataset of {len(self.ds)} samples and "
-                f"validating with randomly splitted {len(self.valid_ds)} samples"
-            )
-        else:
-            self.valid_ds = self.ds
-        assert len(self.ds) >= batch_size and len(self.valid_ds) >= batch_size
-
-        def loader(ds, bs, shuffle_seed):
-            return PairedDataLoader(
-                ds, bs, bucket_multiples=tuple(multiples),
-                pad_values=tuple(pads), max_lengths=tuple(maxes),
-                seed=shuffle_seed,
-            )
-
-        self.dl = loader(self.ds, batch_size * grad_accum_every, seed)
-        self.valid_dl = loader(self.valid_ds, batch_size, seed + 1)
-        if prefetch_batches > 0:
-            self.dl_iter = PrefetchLoader(self.dl, prefetch_batches).cycle()
-            self.valid_dl_iter = PrefetchLoader(self.valid_dl, 1).cycle()
-        else:
-            self.dl_iter = self.dl.cycle()
-            self.valid_dl_iter = self.valid_dl.cycle()
+        self._setup_paired_loaders(
+            dataset, duration_predictor.tokenizer,
+            batch_size=batch_size, grad_accum_every=grad_accum_every,
+            valid_frac=valid_frac, random_split_seed=random_split_seed,
+            seed=seed,
+            bucket_multiples=tuple(multiples), pad_values=tuple(pads),
+            max_lengths=tuple(maxes), prefetch_batches=prefetch_batches,
+        )
 
         dp = duration_predictor
 
@@ -240,18 +176,9 @@ class DurationPredictorTrainer(TrainerBase):
         self._train_step = build_accum_train_step(
             self.optimizer, loss, grad_accum_every
         )
-        self._valid_loss = jax.jit(
-            lambda params, rng, *arrays: loss(params, rng, *arrays)
-        )
+        self._valid_loss = jax.jit(loss)
 
-        self.hps = {
-            "num_train_steps": self.num_train_steps,
-            "num_warmup_steps": self.num_warmup_steps,
-            "learning_rate": self.lr,
-            "initial_learning_rate": self.initial_lr,
-            "wd": wd,
-        }
-        self._log_metrics({"event": "init_trackers", "config": self.hps})
+        self._log_init_hps()
 
     # ------------------------------------------------------------------
 
@@ -269,18 +196,30 @@ class DurationPredictorTrainer(TrainerBase):
 
     def _mel_for_aligner(self, waves: np.ndarray, wave_mask: np.ndarray):
         """Log-mel at n_mels=aligner_dim_in on the codec's hop grid (the
-        MelVoco.encode chain with the aligner's mel count)."""
-        from ..ops.stft import amplitude_to_db, mel_spectrogram
+        MelVoco.encode chain with the aligner's mel count).
 
-        codec = self.dp.audio_enc_dec
-        hop = int(codec.downsample_factor)
-        mel = mel_spectrogram(
-            jnp.asarray(waves),
-            n_mels=int(self.dp.net.aligner_dim_in),
-            sample_rate=int(codec.sampling_rate),
-            hop_length=hop,
-        )
-        mel = amplitude_to_db(mel).transpose(0, 2, 1)  # (b, frames, n_mels)
+        The whole chain runs as ONE jitted program per bucket shape — eager
+        stft/mel/db ops here would dispatch ~10 ops per train step over the
+        tunnel (CLAUDE.md's always-jit rule); jit's own cache handles the
+        per-bucket shapes."""
+        mel_fn = getattr(self, "_mel_jit", None)
+        if mel_fn is None:
+            from ..ops.stft import amplitude_to_db, mel_spectrogram
+
+            codec = self.dp.audio_enc_dec
+            hop = int(codec.downsample_factor)
+            n_mels = int(self.dp.net.aligner_dim_in)
+            sample_rate = int(codec.sampling_rate)
+
+            def impl(w):
+                m = mel_spectrogram(
+                    w, n_mels=n_mels, sample_rate=sample_rate,
+                    hop_length=hop,
+                )
+                return amplitude_to_db(m).transpose(0, 2, 1)  # (b, n, mels)
+
+            mel_fn = self._mel_jit = jax.jit(impl)
+        mel = mel_fn(jnp.asarray(waves))
         lengths = wave_mask.sum(axis=-1)
         ds = wave_mask.shape[-1] / mel.shape[1]
         frame_lengths = np.ceil(lengths / ds).astype(np.int64)
@@ -320,35 +259,7 @@ class DurationPredictorTrainer(TrainerBase):
         return arrays
 
     # ------------------------------------------------------------------
-
-    def train_step(self):
-        steps = self.steps
-        arrays = self._prepare_batch(next(self.dl_iter))
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, self._next_rng(), *arrays
-        )
-        self._loss_buffer.append((steps, loss))
-        logs = {"loss": loss}
-
-        if steps % self.log_every == 0:
-            self.print(f"{steps}: loss: {self._flush_losses():0.3f}")
-
-        if steps % self.save_results_every == 0:
-            v = self._prepare_batch(next(self.valid_dl_iter), flat=True)
-            valid_loss = float(
-                self._valid_loss(self.params, jax.random.PRNGKey(steps), *v)
-            )
-            self.print(f"{steps}: valid loss {valid_loss:0.3f}")
-            self._log_metrics({"valid_loss": valid_loss})
-
-        if steps % self.save_model_every == 0:
-            self._flush_losses()
-            path = str(self.results_folder / f"duration.{steps}.ckpt")
-            self.save(path)
-            self.print(f"{steps}: saving model to {str(self.results_folder)}")
-
-        self.steps += 1
-        return logs
+    # train_step: the shared StageTrainer loop
 
     def _on_train_end(self):
         self.dp.params = self.params

@@ -32,47 +32,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, make_mesh
-from .base import TrainerBase, build_accum_train_step
-from .data import PairedDataLoader, PrefetchLoader, random_split
+from .base import StageTrainer, build_accum_train_step
 
 __all__ = ["TextToSemanticTrainer"]
 
 
-class _TokenizedPairs:
-    """Dataset view: tokenizes str text fields to id arrays (cached — host
-    string work runs once per item, not once per epoch)."""
-
-    def __init__(self, dataset, tokenizer):
-        self.dataset = dataset
-        self.tokenizer = tokenizer
-        self._cache: dict = {}
-
-    def __len__(self):
-        return len(self.dataset)
-
-    def _text_ids(self, idx, text) -> np.ndarray:
-        ids = self._cache.get(idx)
-        if ids is None:
-            assert self.tokenizer is not None, (
-                "dataset yields raw text but the model has no tokenizer"
-            )
-            row = np.asarray(
-                self.tokenizer.texts_to_tensor_ids([text]), dtype=np.int32
-            )[0]
-            ids = self._cache[idx] = row[row != -1]
-        return ids
-
-    def __getitem__(self, idx):
-        first, second = self.dataset[idx]
-        if isinstance(first, str):
-            first = self._text_ids(idx, first)
-        return np.asarray(first), np.asarray(second)
-
-
-class TextToSemanticTrainer(TrainerBase):
+class TextToSemanticTrainer(StageTrainer):
     """Trainer for `TextToSemantic`. `dataset` items are 2-tuples of either
 
     * `(text | text_ids, semantic_ids)` — precomputed targets
@@ -84,6 +50,7 @@ class TextToSemanticTrainer(TrainerBase):
     = ids, float = wave) and must be homogeneous."""
 
     project_name = "text_to_semantic"
+    ckpt_prefix = "text_to_semantic"
 
     def __init__(
         self,
@@ -133,7 +100,10 @@ class TextToSemanticTrainer(TrainerBase):
             "either num_train_steps or num_epochs must be specified"
         )
         if num_epochs is not None:
-            num_train_steps = len(dataset) // batch_size * num_epochs
+            num_train_steps = self._steps_from_epochs(
+                num_epochs, len(dataset), batch_size, grad_accum_every,
+                valid_frac,
+            )
         self._setup_core(
             num_train_steps=num_train_steps,
             num_warmup_steps=num_warmup_steps,
@@ -146,27 +116,7 @@ class TextToSemanticTrainer(TrainerBase):
             seed=seed,
         )
 
-        # mesh: batch over the 'data' axis, params replicated. Multi-host
-        # runs feed through the CFM-trainer-style process-sharded loader
-        # only for VoiceBoxTrainer; this trainer is single-controller DP.
-        assert jax.process_count() == 1, (
-            "TextToSemanticTrainer is single-controller; for multi-host "
-            "pipelines pretrain the seq2seq single-host (it is the smallest "
-            "model in the stack) or adapt VoiceBoxTrainer's loader"
-        )
-        if mesh is None and use_mesh and len(jax.devices()) > 1:
-            mesh = make_mesh()
-        self.mesh = mesh
-        if mesh is not None:
-            n_data = mesh.shape[DATA_AXIS]
-            assert batch_size % n_data == 0, (
-                f"batch_size {batch_size} must divide the data axis {n_data}"
-            )
-            self._batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-            self._flat_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        else:
-            self._batch_sharding = None
-            self._flat_sharding = None
+        self._setup_data_mesh(mesh, use_mesh, batch_size)
         self.opt_state = jax.jit(self.optimizer.init)(self.params)
 
         # dataset kind: ids vs wave, from the first item's second field
@@ -194,39 +144,20 @@ class TextToSemanticTrainer(TrainerBase):
             max_target_len = max_semantic_len
             pad_value = -1
 
-        self.ds = _TokenizedPairs(dataset, t2s.tokenizer)
-        if valid_frac > 0:
-            self.ds, self.valid_ds = random_split(
-                self.ds, valid_frac, random_split_seed
-            )
-            self.print(
-                f"training with dataset of {len(self.ds)} samples and "
-                f"validating with randomly splitted {len(self.valid_ds)} samples"
-            )
-        else:
-            self.valid_ds = self.ds
-        assert len(self.ds) >= batch_size and len(self.valid_ds) >= batch_size
+        self._setup_paired_loaders(
+            dataset, t2s.tokenizer,
+            batch_size=batch_size, grad_accum_every=grad_accum_every,
+            valid_frac=valid_frac, random_split_seed=random_split_seed,
+            seed=seed,
+            bucket_multiples=(text_bucket_multiple, target_multiple),
+            pad_values=(-1, pad_value),
+            max_lengths=(max_text_len, max_target_len),
+            prefetch_batches=prefetch_batches,
+        )
 
-        def loader(ds, bs, shuffle_seed):
-            return PairedDataLoader(
-                ds, bs,
-                bucket_multiples=(text_bucket_multiple, target_multiple),
-                pad_values=(-1, pad_value),
-                max_lengths=(max_text_len, max_target_len),
-                seed=shuffle_seed,
-            )
-
-        self.dl = loader(self.ds, batch_size * grad_accum_every, seed)
-        self.valid_dl = loader(self.valid_ds, batch_size, seed + 1)
-        if prefetch_batches > 0:
-            self.dl_iter = PrefetchLoader(self.dl, prefetch_batches).cycle()
-            self.valid_dl_iter = PrefetchLoader(self.valid_dl, 1).cycle()
-        else:
-            self.dl_iter = self.dl.cycle()
-            self.valid_dl_iter = self.valid_dl.cycle()
-
-        # the seq2seq loss carries no dropout/stochastic rngs, but the step
-        # keeps the uniform (params, rng, *arrays) contract
+        # the seq2seq loss carries no dropout/stochastic rngs, but both
+        # jitted callables keep the uniform (params, rng, *arrays) contract
+        # the shared StageTrainer loop drives
         def loss(params, rng, text_ids, semantic_ids):
             del rng
             return t2s.loss_fn(params, text_ids, semantic_ids)
@@ -234,18 +165,9 @@ class TextToSemanticTrainer(TrainerBase):
         self._train_step = build_accum_train_step(
             self.optimizer, loss, grad_accum_every
         )
-        self._valid_loss = jax.jit(
-            lambda params, t, s: t2s.loss_fn(params, t, s)
-        )
+        self._valid_loss = jax.jit(loss)
 
-        self.hps = {
-            "num_train_steps": self.num_train_steps,
-            "num_warmup_steps": self.num_warmup_steps,
-            "learning_rate": self.lr,
-            "initial_learning_rate": self.initial_lr,
-            "wd": wd,
-        }
-        self._log_metrics({"event": "init_trackers", "config": self.hps})
+        self._log_init_hps()
 
     # ------------------------------------------------------------------
 
@@ -284,34 +206,7 @@ class TextToSemanticTrainer(TrainerBase):
         return text_ids, sem_ids
 
     # ------------------------------------------------------------------
-
-    def train_step(self):
-        steps = self.steps
-        text_ids, sem_ids = self._prepare_batch(next(self.dl_iter))
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, self._next_rng(), text_ids, sem_ids
-        )
-        # loss stays on device; buffered fetch at the log boundary (see base)
-        self._loss_buffer.append((steps, loss))
-        logs = {"loss": loss}
-
-        if steps % self.log_every == 0:
-            self.print(f"{steps}: loss: {self._flush_losses():0.3f}")
-
-        if steps % self.save_results_every == 0:
-            t, s = self._prepare_batch(next(self.valid_dl_iter), flat=True)
-            valid_loss = float(self._valid_loss(self.params, t, s))
-            self.print(f"{steps}: valid loss {valid_loss:0.3f}")
-            self._log_metrics({"valid_loss": valid_loss})
-
-        if steps % self.save_model_every == 0:
-            self._flush_losses()
-            path = str(self.results_folder / f"text_to_semantic.{steps}.ckpt")
-            self.save(path)
-            self.print(f"{steps}: saving model to {str(self.results_folder)}")
-
-        self.steps += 1
-        return logs
+    # train_step: the shared StageTrainer loop
 
     def _on_train_end(self):
         self.t2s.params = self.params

@@ -158,7 +158,16 @@ class VoiceBoxTrainer(TrainerBase):
             "either num_train_steps or num_epochs must be specified"
         )
         if num_epochs is not None:
-            num_train_steps = len(dataset) // batch_size * num_epochs
+            # one epoch = one pass over the TRAINING split; each optimizer
+            # step consumes batch_size * grad_accum_every items. The
+            # reference's formula (trainer.py:141, len(dataset)//batch_size
+            # * num_epochs) ignores both the accumulation factor and the
+            # valid split, so num_epochs=1 with grad_accum_every=4 silently
+            # trains 4 passes — fixed like the other reference trainer bugs
+            # (PARITY.md).
+            num_train_steps = max(
+                1, len(self.ds) // (batch_size * grad_accum_every)
+            ) * num_epochs
 
         # optimizer + schedule, results folder, checkpointer, metrics/trackers
         self._setup_core(
@@ -593,13 +602,27 @@ class VoiceBoxTrainer(TrainerBase):
         submodules carry unknown buffer layouts refuse the optimizer port
         loudly rather than misalign (see
         `utils/port_weights.load_optimizer_torch`)."""
-        from ..utils.port_weights import load_optimizer_torch
+        import torch
+
+        from ..utils.port_weights import (
+            load_optimizer_torch,
+            load_voicebox_torch,
+        )
 
         from .optimizer import restore_adam_state
 
+        # deserialize ONCE — the reference's dim-1024 checkpoint is ~8 GB
+        # (f32 params + both Adam moments); loading it separately for the
+        # model and the optimizer would double load time and peak host RSS
+        pkg = torch.load(path, map_location="cpu", weights_only=False)
+        assert isinstance(pkg, dict) and "model" in pkg, (
+            "expected a reference trainer checkpoint "
+            "(trainer.py:191-197 saves {'model', 'optim', 'scheduler'})"
+        )
         self.cfm_wrapper.params = self.params
-        params = self.cfm_wrapper.load_torch(path)
-        mu, nu, count = load_optimizer_torch(path, params)
+        params = load_voicebox_torch(pkg["model"], self.params)
+        self.cfm_wrapper.params = params
+        mu, nu, count = load_optimizer_torch(pkg, params)
         self.params = params
         if self.mesh is not None:
             from ..parallel.sharding_rules import shard_params

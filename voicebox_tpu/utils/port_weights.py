@@ -20,6 +20,7 @@ mismatches.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -561,7 +562,7 @@ def load_voicebox_torch(sd_or_path, template_params):
     reference under a GELU-approximate runtime."""
     import jax.numpy as jnp  # noqa: F401  (used by load_transformer_torch)
 
-    if isinstance(sd_or_path, (str,)):
+    if isinstance(sd_or_path, (str, os.PathLike)):
         sd = load_torch_state_dict(sd_or_path)
     else:
         sd = {
@@ -718,7 +719,7 @@ def load_optimizer_torch(pkg_or_path, template_params, port_fn=None):
 
     if port_fn is None:
         port_fn = load_voicebox_torch
-    if isinstance(pkg_or_path, str):
+    if isinstance(pkg_or_path, (str, os.PathLike)):
         import torch
 
         pkg = torch.load(pkg_or_path, map_location="cpu", weights_only=False)

@@ -265,3 +265,64 @@ class TestShardedInference:
                             decode_to_audio=False, rng=key, params=sharded)
         np.testing.assert_allclose(np.asarray(out_rep), np.asarray(out_sh),
                                    rtol=2e-3, atol=3e-4)
+
+
+class TestCompiledCollectives:
+    """Parity tests alone can't distinguish real sharding from silent full
+    replication — a sharding-rule bug that replicated every tensor would
+    still pass every numeric check above. Inspect the optimized HLO of the
+    compiled grad step instead: the collectives the design claims
+    (SURVEY.md §5 — DP gradients ride an all-reduce, FSDP gathers parameter
+    shards on use, TP row-parallel matmuls reduce partial sums; the
+    reference delegates all of this to NCCL inside accelerate,
+    reference trainer.py:89-95) must actually appear in the program XLA
+    emits for the mesh."""
+
+    def _grad_hlo(self, mode, model_parallel=1, min_fsdp_size=256):
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(model_parallel=model_parallel)
+        vb = VoiceBox(dim_in=32, dim=64, depth=2, dim_head=16, heads=4,
+                      num_register_tokens=2, condition_on_text=False)
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        params = cfm.init_params(jax.random.PRNGKey(0), seq_len=16, batch=2)
+        sharded = shard_params(mesh, params, mode,
+                               min_fsdp_size=min_fsdp_size)
+        x = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(1), (8, 16, 32)),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+        hlo = (
+            jax.jit(jax.grad(cfm.loss_fn))
+            .lower(sharded, x, jax.random.PRNGKey(2))
+            .compile()
+            .as_text()
+        )
+        return hlo, sharded
+
+    def test_dp_gradients_all_reduce(self):
+        # replicated params + batch-sharded data: the grad psum over the
+        # 'data' axis must be a compiled all-reduce
+        hlo, _ = self._grad_hlo("replicated")
+        assert "all-reduce" in hlo
+
+    def test_fsdp_gathers_and_rescatters(self):
+        hlo, sharded = self._grad_hlo("fsdp")
+        # forward/backward must gather the weight shards on use...
+        assert "all-gather" in hlo
+        # ...and reduce gradients back to shards (reduce-scatter, or the
+        # unfused all-reduce + slice pair XLA sometimes emits instead)
+        assert ("reduce-scatter" in hlo) or ("all-reduce" in hlo)
+        # and a large kernel really lives 1/8th-per-device, not replicated
+        leaves = [p for p in jax.tree.leaves(sharded)
+                  if p.size * p.dtype.itemsize >= 256 * 4 and p.ndim >= 2]
+        assert leaves
+        frac = [ls.addressable_shards[0].data.size / ls.size for ls in leaves
+                if any(ax is not None for ax in tuple(ls.sharding.spec))]
+        assert frac and all(abs(f - 1 / 8) < 1e-9 for f in frac)
+
+    def test_tp_partial_sums_all_reduce(self):
+        # Megatron row-parallel (to_out / ff proj_out) matmuls produce
+        # partial sums over the 'model' axis — an all-reduce must appear
+        hlo, _ = self._grad_hlo("tp", model_parallel=2)
+        assert "all-reduce" in hlo

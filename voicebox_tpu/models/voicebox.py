@@ -141,7 +141,10 @@ class VoiceBox(nn.Module):
         kwargs2 = {}
         for k, v in kwargs.items():
             v = as_array(v)
-            kwargs2[k] = cat(v) if isinstance(v, jax.Array) else v
+            # 0-d arrays are scalar flags, not batched tensors: both CFG
+            # halves share them unchanged (concatenating 0-d raises)
+            dup = isinstance(v, jax.Array) and v.ndim > 0
+            kwargs2[k] = cat(v) if dup else v
         drop2 = jnp.concatenate(
             [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)]
         )

@@ -204,7 +204,14 @@ def restore_adam_state(opt_state, mu, nu, count, params=None):
         out = []
         for o, n in zip(old_leaves, new_leaves):
             assert tuple(o.shape) == tuple(n.shape), (o.shape, n.shape)
-            out.append(jnp.asarray(n, dtype=o.dtype))
+            arr = jnp.asarray(n, dtype=o.dtype)
+            # keep the fresh state's placement: on an FSDP/TP mesh the inited
+            # moments are sharded, and replacing them with default-device
+            # arrays would pile ~2x param bytes onto one chip at dim 1024
+            sharding = getattr(o, "sharding", None)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            out.append(arr)
         return jax.tree.unflatten(treedef, out)
 
     def rec(s):

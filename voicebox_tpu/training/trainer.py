@@ -619,17 +619,23 @@ class VoiceBoxTrainer(TrainerBase):
             "expected a reference trainer checkpoint "
             "(trainer.py:191-197 saves {'model', 'optim', 'scheduler'})"
         )
-        self.cfm_wrapper.params = self.params
         params = load_voicebox_torch(pkg["model"], self.params)
-        self.cfm_wrapper.params = params
-        mu, nu, count = load_optimizer_torch(pkg, params)
-        self.params = params
-        if self.mesh is not None:
-            from ..parallel.sharding_rules import shard_params
-
-            self.params = shard_params(self.mesh, self.params,
-                                       self._param_sharding_mode,
-                                       min_fsdp_size=self._min_fsdp_size)
+        try:
+            mu, nu, count = load_optimizer_torch(pkg, params)
+        except Exception:
+            # the optimizer port refused loudly; still install the weights
+            # CONSISTENTLY (trainer params, fresh optimizer state, wrapper
+            # facade) before re-raising, so a caller that catches and
+            # continues — the documented "weights still load" posture —
+            # trains the same params it serves
+            self._install_ported_params(params)
+            self.opt_state = (
+                jax.jit(self.optimizer.init)(self.params)
+                if self.mesh is not None
+                else self.optimizer.init(self.params)
+            )
+            raise
+        self._install_ported_params(params)
         # fresh state carries the right dtypes/sharding; the ported moments
         # are installed into it leaf-by-leaf
         if self.mesh is not None:
@@ -639,6 +645,23 @@ class VoiceBoxTrainer(TrainerBase):
         self.opt_state = restore_adam_state(
             self.opt_state, mu, nu, count, params=self.params
         )
+        # the Adam step counter IS the number of completed optimizer steps —
+        # authoritative, unlike the reference's filename regex
+        self.steps = int(count)
+        return self.params
+
+    def _install_ported_params(self, params):
+        """Adopt a freshly ported param tree everywhere the trainer serves it
+        from: sharded `self.params`, the wrapper facade, and the bf16 live
+        tree (when `param_dtype` is set) — one atomic step so the training
+        state and the sampling facade can never diverge."""
+        self.params = params
+        if self.mesh is not None:
+            from ..parallel.sharding_rules import shard_params
+
+            self.params = shard_params(self.mesh, self.params,
+                                       self._param_sharding_mode,
+                                       min_fsdp_size=self._min_fsdp_size)
         self.cfm_wrapper.params = self.params
         if self._param_dtype is not None:
             dt = self._param_dtype
@@ -646,10 +669,6 @@ class VoiceBoxTrainer(TrainerBase):
                 lambda p: p.astype(dt)
                 if jnp.issubdtype(p.dtype, jnp.floating) else p, t
             ))(self.params)
-        # the Adam step counter IS the number of completed optimizer steps —
-        # authoritative, unlike the reference's filename regex
-        self.steps = int(count)
-        return self.params
 
     def save_torch(self, path, extra_model_state=None):
         """The INVERSE of `load_torch`: export the current run as a

@@ -30,10 +30,12 @@ precomputed `semantic_token_ids` / `phoneme_ids` pass straight through
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.interp import curtail_or_pad
 from ..ops.ode import cfm_interpolant, odeint
@@ -601,21 +603,28 @@ class ConditionalFlowMatcherWrapper:
             elif self.duration_predictor is not None:
                 if want_frames is not None and frame_length is None:
                     frame_length = want_frames
+                if phoneme_ids is None:
+                    tok = self.duration_predictor.tokenizer
+                    assert tok is not None and texts is not None
+                    phoneme_ids = jnp.asarray(tok.texts_to_tensor_ids(texts))
+                phoneme_ids = jnp.asarray(phoneme_ids)
                 durations, aligned_phoneme_ids = (
                     self.duration_predictor.forward_with_cond_scale(
                         cond=cond,
-                        texts=texts,
                         phoneme_ids=phoneme_ids,
                         return_aligned_phoneme_ids=True,
                         total_length=frame_length,
                     )
                 )
                 cond_token_ids = jnp.asarray(aligned_phoneme_ids)
-                # speech span = sum of (rounded, >=1) predicted durations —
-                # the validity signal for return_lengths
+                # speech span = sum of (rounded, >=1) predicted durations over
+                # VALID phoneme positions only — bucket pads (id -1) would
+                # otherwise each contribute >= 1 junk frame to the
+                # return_lengths validity signal (reference durations are
+                # per-valid-phoneme, voicebox_pytorch.py:833-839)
+                per_pos = jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32)
                 dp_frames = jnp.sum(
-                    jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32),
-                    axis=-1,
+                    jnp.where(phoneme_ids >= 0, per_pos, 0), axis=-1
                 )
 
             cond_tokens_seq_len = cond_token_ids.shape[-1]
@@ -683,6 +692,21 @@ class ConditionalFlowMatcherWrapper:
             params, y0, cond, cond_token_ids, cond_mask, self_attn_mask,
             jnp.asarray(cond_scale, dtype=jnp.float32), codec_params,
         )
+
+        if dp_frames is not None and frame_length is not None:
+            # an explicit static horizon that cuts the predicted speech span
+            # must never be silent (the serving engine re-buckets instead —
+            # serving.py::_duration_sample). Checked AFTER the async sampler
+            # dispatch so the tiny host fetch overlaps device work.
+            over = np.asarray(dp_frames) - cond.shape[1]
+            if (over > 0).any():
+                warnings.warn(
+                    f"predicted durations span up to {int(over.max())} frames "
+                    f"beyond frame_length={cond.shape[1]}; the generated "
+                    "speech is truncated — raise frame_length or use "
+                    "sample_long",
+                    stacklevel=2,
+                )
 
         if fuse_decode:
             out = sampled  # decoded audio, one fused program

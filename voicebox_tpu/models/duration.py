@@ -245,8 +245,15 @@ def align_phoneme_ids_with_durations(
     duration (reference voicebox_pytorch.py:689-692 /
     `generate_mask_from_repeats`). Frame j gets phoneme i where
     cumsum[i-1] <= j < cumsum[i] — a searchsorted gather instead of the
-    reference's (b, n, total) one-hot einsum (O(n*total) memory saved)."""
+    reference's (b, n, total) one-hot einsum (O(n*total) memory saved).
+
+    Pad positions (id < 0, bucket padding) contribute ZERO duration: the
+    reference's ids are unpadded per-valid-phoneme (voicebox_pytorch.py:
+    833-839), so a pad's clipped >=1 duration would inflate the speech span
+    and gather pad ids into the frames between the valid-prefix sum and the
+    inflated total."""
     durations = jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32)
+    durations = jnp.where(phoneme_ids >= 0, durations, 0)
     boundaries = jnp.cumsum(durations, axis=-1)  # (b, n_ph)
     if total_length is None:
         total_length = int(jnp.max(boundaries[:, -1]))

@@ -312,6 +312,10 @@ class HubertWithKmeans:
                 self.params["kmeans"] = centers
 
         self._forward = jax.jit(self._forward_impl)
+        # cached once like _forward: a fresh jax.jit wrapper per call would
+        # retrace every features() invocation (same trap CLAUDE.md notes for
+        # eager dispatch on the tunneled backend)
+        self._features = jax.jit(self._features_impl)
 
     @property
     def downsample_factor(self) -> int:
@@ -389,7 +393,7 @@ class HubertWithKmeans:
     def features(self, wav: jax.Array) -> jax.Array:
         """Pre-quantization encoder features (b, frames, dim) — the vectors
         the k-means vocabulary is built over."""
-        return jax.jit(self._features_impl)(self.params, self._prep_wav(wav))
+        return self._features(self.params, self._prep_wav(wav))
 
     def fit_kmeans(self, wavs=None, *, features=None, rng=None, iters: int = 50):
         """Build the semantic-token vocabulary from a corpus IN-FRAMEWORK

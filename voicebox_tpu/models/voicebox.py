@@ -245,6 +245,14 @@ class VoiceBox(nn.Module):
         cond_emb = None
         if self.condition_on_text:
             assert cond_ids is not None, "cond_token_ids required when condition_on_text"
+            # pad ids (-1, from bucket padding in the paired loader and from
+            # duration alignment) map EXPLICITLY to the CFG null-cond row —
+            # the reference clamps pad ids before embedding
+            # (voicebox_pytorch.py:808-811); relying on flax Embed's
+            # negative-index wraparound (which happens to land on the same
+            # last row) would break silently under any out-of-range-mode
+            # change
+            cond_ids = jnp.where(cond_ids < 0, self.null_cond_id, cond_ids)
             cond_emb = nn.Embed(
                 self.num_cond_tokens + 1, self.dim_cond_emb,
                 dtype=self.dtype, name="to_cond_emb",

@@ -28,6 +28,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import warnings
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
@@ -154,21 +155,96 @@ class TTSEngine:
         return out
 
     def _sample_kwargs(self, ids: np.ndarray) -> dict:
-        if self.mode == "semantic":
-            return {
-                "text_token_ids": jnp.asarray(ids),
-                "max_semantic_token_ids": self.max_semantic_token_ids,
-                "spec_decode": self.spec_decode,
-            }
-        # duration pipeline: pad id -1 -> clamp handled by the predictor;
-        # the static frame horizon is derived from the text bucket
+        assert self.mode == "semantic"
+        return {
+            "text_token_ids": jnp.asarray(ids),
+            "max_semantic_token_ids": self.max_semantic_token_ids,
+            "spec_decode": self.spec_decode,
+        }
+
+    # ------------------------------------------------------------------
+    # duration-pipeline helpers: predict durations FIRST (host-visible), so
+    # the frame horizon can be re-bucketed when predictions overflow it and
+    # the alignment/validity math runs in numpy (no device program depends
+    # on a per-request length)
+    # ------------------------------------------------------------------
+
+    def _predict_durations(self, ids: np.ndarray, cond=None) -> np.ndarray:
+        """(batch, length) bucket-padded phoneme ids -> per-position integer
+        durations (batch, length), clipped >= 1 and zeroed at pads. One
+        warmed dp program per (batch, length) shape. `cond` latents (a voice
+        prompt, (1, p, d)) are pre-curtailed/padded host-side to the phoneme
+        length — the net does the same curtail internally (reference
+        voicebox_pytorch.py:815-819), so this keeps the program shape on the
+        text-bucket grid regardless of prompt length."""
+        dp = self.wrapper.duration_predictor
+        if cond is not None:
+            c = np.asarray(cond, dtype=np.float32)
+            n_ph = ids.shape[1]
+            if c.shape[1] >= n_ph:
+                c = c[:, :n_ph]
+            else:
+                c = np.pad(c, ((0, 0), (0, n_ph - c.shape[1]), (0, 0)))
+            c = np.broadcast_to(c, (ids.shape[0],) + c.shape[1:])
+            cond = jnp.asarray(np.ascontiguousarray(c))
+        durations = dp.forward_with_cond_scale(
+            cond=cond, phoneme_ids=jnp.asarray(ids)
+        )
+        per = np.clip(np.round(np.asarray(durations)), 1, None).astype(np.int64)
+        return np.where(ids >= 0, per, 0)
+
+    @staticmethod
+    def _align_ids_np(ids: np.ndarray, per_pos: np.ndarray,
+                      total_length: int) -> np.ndarray:
+        """Host-side `align_phoneme_ids_with_durations`: repeat each id by
+        its (pad-zeroed) duration, 0-fill the tail."""
+        out = np.zeros((ids.shape[0], total_length), dtype=ids.dtype)
+        for j in range(ids.shape[0]):
+            rep = np.repeat(ids[j], per_pos[j])[:total_length]
+            out[j, : rep.shape[0]] = rep
+        return out
+
+    def _duration_sample(self, ids: np.ndarray, rng):
+        """One duration-mode bucket group: predict durations, pick the frame
+        horizon from the ACTUAL masked duration sum (re-bucketing UP the
+        frame grid when the default text-bucket-derived horizon is too
+        small — an up-bucketed program compiles once on first use and is
+        cached after), align host-side, and sample through the pre-aligned-id
+        path. Predictions beyond the largest frame bucket warn and clamp —
+        never a silent cut. Returns (output np, per-request lengths np)."""
+        per = self._predict_durations(ids)
+        n_valid = np.maximum(per.sum(axis=1), 1)
         frame_length = self._bucket(
             ids.shape[1] * self.frames_per_token, self.frame_buckets
         )
-        return {
-            "phoneme_ids": jnp.asarray(ids),
-            "frame_length": frame_length,
-        }
+        needed = int(n_valid.max())
+        if needed > frame_length:
+            frame_length = self._bucket(needed, self.frame_buckets)
+        if needed > self.frame_buckets[-1]:
+            warnings.warn(
+                f"predicted speech span of {needed} frames exceeds the "
+                f"largest frame bucket {self.frame_buckets[-1]}; output is "
+                "clipped to the bucket — raise frame_buckets/"
+                "frames_per_token or split the text",
+                stacklevel=3,
+            )
+            n_valid = np.minimum(n_valid, frame_length)
+        aligned = self._align_ids_np(ids, per, frame_length)
+        out = self.wrapper.sample(
+            semantic_token_ids=jnp.asarray(aligned),
+            ids_at_frame_rate=True,
+            steps=self.steps,
+            cond_scale=self.cond_scale,
+            decode_to_audio=self.decode_to_audio,
+            quantize=self.quantize,
+            param_store_dtype=self.param_store_dtype,
+            rng=rng,
+        )
+        if self._outputs_audio:
+            lens = n_valid * self.wrapper.voicebox.audio_enc_dec.downsample_factor
+        else:
+            lens = n_valid
+        return np.asarray(out), lens.astype(np.int64)
 
     # ------------------------------------------------------------------
 
@@ -225,17 +301,20 @@ class TTSEngine:
                     rng, chunk_rng = jax.random.split(rng)
                 else:
                     chunk_rng = None
-                out, out_lens = self.wrapper.sample(
-                    **self._sample_kwargs(ids),
-                    steps=self.steps,
-                    cond_scale=self.cond_scale,
-                    decode_to_audio=self.decode_to_audio,
-                    return_lengths=True,
-                    quantize=self.quantize,
-                    param_store_dtype=self.param_store_dtype,
-                    rng=chunk_rng,
-                )
-                out, out_lens = np.asarray(out), np.asarray(out_lens)
+                if self.mode == "duration":
+                    out, out_lens = self._duration_sample(ids, chunk_rng)
+                else:
+                    out, out_lens = self.wrapper.sample(
+                        **self._sample_kwargs(ids),
+                        steps=self.steps,
+                        cond_scale=self.cond_scale,
+                        decode_to_audio=self.decode_to_audio,
+                        return_lengths=True,
+                        quantize=self.quantize,
+                        param_store_dtype=self.param_store_dtype,
+                        rng=chunk_rng,
+                    )
+                    out, out_lens = np.asarray(out), np.asarray(out_lens)
                 for j, row in enumerate(rows):
                     results[row] = (out[j : j + 1], int(out_lens[j]))
         for row in long_rows:
@@ -307,12 +386,13 @@ class TTSEngine:
             return self.wrapper.frames_per_semantic_token()
         return 1.0
 
-    def _long_frame_ids(self, ids_row: np.ndarray):
+    def _long_frame_ids(self, ids_row: np.ndarray, cond=None):
         """(1, n_tokens) over-bucket token ids -> (conditioning ids (1, m),
         exact_frames). Text is segmented onto the largest text bucket; each
         segment runs the warmed bucket program (AR semantic generation, or
         duration prediction + alignment), valid outputs are trimmed and
-        concatenated host-side."""
+        concatenated host-side. `cond`: duration mode only — voice-prompt
+        latents conditioning the duration predictions."""
         seg = self.text_buckets[-1]
         parts = []
         if self.mode == "semantic":
@@ -355,11 +435,13 @@ class TTSEngine:
         else:
             # duration segments batch through the warmed (batch, length)
             # bucket programs exactly like semantic ones: same-bucket
-            # segments run ONE forward_with_cond_scale per (batch, length)
-            # group instead of one call each (the frame horizon is a
-            # deterministic function of the text bucket, so grouping by
-            # text bucket groups by program)
-            dp = self.wrapper.duration_predictor
+            # segments run ONE duration prediction per (batch, length) group
+            # instead of one call each. Alignment runs host-side at each
+            # segment's EXACT masked duration sum, so the long path never
+            # clamps or truncates a segment's predicted span. `cond` (a
+            # voice prompt, (1, p, d) latents) conditions every segment's
+            # durations on the prompt voice (reference passes the same cond
+            # to the duration predictor, voicebox_pytorch.py:1231-1241).
             items = []  # (bucket length, (1, length) padded row)
             for s in range(0, ids_row.shape[1], seg):
                 chunk = ids_row[:, s : s + seg]
@@ -371,9 +453,6 @@ class TTSEngine:
                 by_len.setdefault(length, []).append(i)
             max_batch = self.batch_buckets[-1]
             for length, idxs in by_len.items():
-                frame_length = self._bucket(
-                    length * self.frames_per_token, self.frame_buckets
-                )
                 for start in range(0, len(idxs), max_batch):
                     sel = idxs[start : start + max_batch]
                     batch = self._bucket(len(sel), self.batch_buckets)
@@ -381,23 +460,12 @@ class TTSEngine:
                         np.concatenate([items[i][1] for i in sel], axis=0),
                         batch, length,
                     )
-                    durations, aligned = dp.forward_with_cond_scale(
-                        cond=None,
-                        phoneme_ids=jnp.asarray(stacked),
-                        return_aligned_phoneme_ids=True,
-                        total_length=frame_length,
-                    )
-                    durations, aligned = np.asarray(durations), np.asarray(aligned)
-                    # count frames over VALID phoneme positions only: bucket
-                    # pads (id -1) sit after the valid prefix, so their >= 1
-                    # clipped durations would otherwise leak pad-id frames
-                    # into the conditioning stream
-                    per_pos = np.clip(np.round(durations), 1, None).astype(np.int64)
-                    valid_pos = stacked >= 0
+                    per = self._predict_durations(stacked, cond=cond)
                     for j, i in enumerate(sel):
-                        n_valid = int(per_pos[j][valid_pos[j]].sum())
-                        n_valid = min(max(n_valid, 1), frame_length)
-                        parts[i] = aligned[j : j + 1, :n_valid]
+                        n_valid = max(int(per[j].sum()), 1)
+                        parts[i] = self._align_ids_np(
+                            stacked[j : j + 1], per[j : j + 1], n_valid
+                        )
         cond_ids = np.concatenate(parts, axis=1)
         exact = int(np.ceil(cond_ids.shape[1] * self._long_ratio()))
         return cond_ids, exact
@@ -473,14 +541,45 @@ class TTSEngine:
     # in-context voice cloning
     # ------------------------------------------------------------------
 
-    def _prepare_prompt(self, prompt, prompt_ids):
+    def _duration_prompt_ids(self, prompt_lat, prompt_text: str) -> np.ndarray:
+        """Frame-rate-aligned phoneme ids for the PROMPT span in duration
+        mode: predict per-phoneme durations for the prompt transcript
+        conditioned on the prompt latents (the reference passes the same
+        cond to the duration predictor, voicebox_pytorch.py:1231-1241), then
+        rescale them by cumulative rounding to sum to EXACTLY the prompt's
+        frame count so the id stream stays frame-aligned."""
+        tok = self._tokenizer()
+        ids = np.asarray(tok.texts_to_tensor_ids([prompt_text]))
+        n = int((ids[0] >= 0).sum())
+        assert n > 0, "empty prompt_text"
+        assert n <= self.text_buckets[-1], (
+            f"prompt transcript of {n} tokens exceeds the largest text "
+            f"bucket {self.text_buckets[-1]}"
+        )
+        length = self._bucket(n, self.text_buckets)
+        ids_b = self._pad_ids(ids[:, :n], 1, length)
+        per = self._predict_durations(ids_b, cond=prompt_lat)[0]  # (length,)
+        p = int(prompt_lat.shape[1])
+        scaled = per.astype(np.float64) * (p / max(int(per.sum()), 1))
+        cum = np.round(np.cumsum(scaled)).astype(np.int64)
+        ints = np.diff(np.concatenate([[0], cum]))
+        aligned = np.repeat(ids_b[0], ints)
+        assert aligned.shape[0] == p
+        return aligned[None, :]
+
+    def _prepare_prompt(self, prompt, prompt_ids, prompt_text=None):
         """Normalise a voice prompt to (latents (1, p, d), ids (1, n_p)).
 
         Raw-audio prompts are zero-padded up to a `prompt_seconds_buckets`
         bucket (so encode/wav2vec run on warmed static shapes), then the
         valid latent frames / ids are sliced back out host-side — the
         slices feed the HOST-assembled window conditioning, so variable
-        prompt lengths never touch a device program shape."""
+        prompt lengths never touch a device program shape.
+
+        `prompt_ids` derivation when not given: semantic mode runs wav2vec
+        on the prompt audio; duration mode needs the prompt's transcript
+        (`prompt_text`) and predicts/rescales its phoneme durations
+        (`_duration_prompt_ids`)."""
         codec = self.wrapper.voicebox.audio_enc_dec
         prompt = np.asarray(prompt, dtype=np.float32)
         if prompt.ndim == 2:  # raw audio (1, n_samples)
@@ -506,27 +605,38 @@ class TTSEngine:
             p_frames = int(np.ceil(n / (target / lat.shape[1])))
             lat = lat[:, :p_frames]
             if prompt_ids is None:
-                assert (self.mode == "semantic"
-                        and self.wrapper.text_to_semantic.wav2vec is not None), (
-                    "prompt_ids can only be derived from audio via wav2vec "
-                    "(semantic mode); pass prompt_ids= explicitly"
-                )
-                from .ops.stft import resample
+                if self.mode == "duration":
+                    assert prompt_text is not None, (
+                        "duration mode derives prompt_ids from the prompt's "
+                        "transcript: pass prompt_text= (or prompt_ids=)"
+                    )
+                    prompt_ids = self._duration_prompt_ids(lat, prompt_text)
+                else:
+                    assert self.wrapper.text_to_semantic.wav2vec is not None, (
+                        "prompt_ids can only be derived from audio via "
+                        "wav2vec; pass prompt_ids= explicitly"
+                    )
+                    from .ops.stft import resample
 
-                w2v = self.wrapper.text_to_semantic.wav2vec
-                w_in = resample(jnp.asarray(padded), sr, w2v.target_sample_hz)
-                ids = np.asarray(w2v(w_in))
-                n_p = int(np.ceil(n / (target / ids.shape[1])))
-                prompt_ids = ids[:, : max(n_p, 1)]
+                    w2v = self.wrapper.text_to_semantic.wav2vec
+                    w_in = resample(jnp.asarray(padded), sr,
+                                    w2v.target_sample_hz)
+                    ids = np.asarray(w2v(w_in))
+                    n_p = int(np.ceil(n / (target / ids.shape[1])))
+                    prompt_ids = ids[:, : max(n_p, 1)]
             return lat, np.asarray(prompt_ids)
         assert prompt.ndim == 3, "prompt must be (1, n_samples) or (1, p, dim)"
+        if prompt_ids is None and self.mode == "duration" and prompt_text:
+            prompt_ids = self._duration_prompt_ids(prompt, prompt_text)
         assert prompt_ids is not None, (
             "latent prompts need explicit prompt_ids (the conditioning ids "
-            "for the prompt span — e.g. wav2vec ids of the prompt audio)"
+            "for the prompt span — e.g. wav2vec ids of the prompt audio, or "
+            "prompt_text= in duration mode)"
         )
         return prompt, np.asarray(prompt_ids)
 
-    def clone_stream(self, text: str, prompt, *, prompt_ids=None, rng=None):
+    def clone_stream(self, text: str, prompt, *, prompt_ids=None,
+                     prompt_text=None, rng=None):
         """In-context voice cloning — the Voicebox headline capability
         (paper §3.2; reference `sample(cond=prompt_audio, texts=...)`,
         voicebox_pytorch.py:1175-1201): synthesize `text` continuing the
@@ -539,7 +649,10 @@ class TTSEngine:
         The yielded stream contains ONLY the continuation (the prompt span
         is the caller's own audio). `prompt`: raw audio (1, n_samples) at
         codec.sampling_rate, or latents (1, p, dim) with explicit
-        `prompt_ids`."""
+        `prompt_ids`. Duration mode: pass `prompt_text` (the prompt's
+        transcript) instead of `prompt_ids` — the continuation's durations
+        are then ALSO conditioned on the prompt voice, mirroring the
+        reference's cond threading (voicebox_pytorch.py:1231-1241)."""
         assert self.enable_long_form, (
             "cloning rides the long-form path; construct the engine with "
             "enable_long_form=True"
@@ -548,13 +661,17 @@ class TTSEngine:
         ids_row = np.asarray(tok.texts_to_tensor_ids([text]))
         n_tokens = int((ids_row[0] >= 0).sum())
         assert n_tokens > 0, "empty text"
-        prompt_lat, p_ids = self._prepare_prompt(prompt, prompt_ids)
+        prompt_lat, p_ids = self._prepare_prompt(prompt, prompt_ids,
+                                                 prompt_text)
         p_frames = int(prompt_lat.shape[1])
         assert p_frames <= self.long_window_frames - 1, (
             f"prompt spans {p_frames} frames, must be < long_window_frames="
             f"{self.long_window_frames}"
         )
-        gen_ids, gen_exact = self._long_frame_ids(ids_row[:, :n_tokens])
+        gen_ids, gen_exact = self._long_frame_ids(
+            ids_row[:, :n_tokens],
+            cond=prompt_lat if self.mode == "duration" else None,
+        )
         # host-side concat/cast: an eager device .astype would compile one
         # tiny program PER PROMPT LENGTH on the request path
         cond_ids = np.concatenate(
@@ -565,12 +682,15 @@ class TTSEngine:
             prompt=jnp.asarray(prompt_lat), skip_frames=p_frames,
         )
 
-    def clone(self, text: str, prompt, *, prompt_ids=None, rng=None):
+    def clone(self, text: str, prompt, *, prompt_ids=None, prompt_text=None,
+              rng=None):
         """One-shot voice cloning; returns the full trimmed continuation
         (audio (1, t_samples) / latents (1, n_frames, dim))."""
         chunks = [np.asarray(c)
                   for c in self.clone_stream(text, prompt,
-                                             prompt_ids=prompt_ids, rng=rng)]
+                                             prompt_ids=prompt_ids,
+                                             prompt_text=prompt_text,
+                                             rng=rng)]
         time_axis = -1 if self._outputs_audio else 1
         return jnp.asarray(np.concatenate(chunks, axis=time_axis))
 
@@ -583,15 +703,21 @@ class TTSEngine:
                 ids = self._pad_ids(
                     self._tokenizer().texts_to_tensor_ids(dummy), batch, length
                 )
-                out, _ = self.wrapper.sample(
-                    **self._sample_kwargs(ids),
-                    steps=self.steps,
-                    cond_scale=self.cond_scale,
-                    decode_to_audio=self.decode_to_audio,
-                    return_lengths=True,
-                    quantize=self.quantize,
-                param_store_dtype=self.param_store_dtype,
-                )
+                if self.mode == "duration":
+                    # warms the dp program AND the default-frame-bucket
+                    # sampler — the exact request-path pair (an up-bucketed
+                    # overflow horizon compiles once on first use instead)
+                    out, _ = self._duration_sample(ids, None)
+                else:
+                    out, _ = self.wrapper.sample(
+                        **self._sample_kwargs(ids),
+                        steps=self.steps,
+                        cond_scale=self.cond_scale,
+                        decode_to_audio=self.decode_to_audio,
+                        return_lengths=True,
+                        quantize=self.quantize,
+                        param_store_dtype=self.param_store_dtype,
+                    )
                 jnp.asarray(out).block_until_ready()
                 if verbose:
                     print(f"warm bucket batch={batch} len={length}", flush=True)
@@ -637,6 +763,23 @@ class TTSEngine:
                     jnp.asarray(w2v(w_in)).block_until_ready()
                 if verbose:
                     print(f"warm prompt bucket {secs}s", flush=True)
+        if (self.enable_long_form and self.prompt_seconds_buckets
+                and self.mode == "duration"):
+            # duration-mode cloning conditions the dp on prompt latents:
+            # the cond is pre-curtailed to the PHONEME length, so one
+            # with-cond dp program per (batch, text-length) bucket covers
+            # every prompt length
+            d = (codec.latent_dim if codec is not None
+                 else self.wrapper.duration_predictor.net.dim)
+            for batch in self.batch_buckets:
+                for length in self.text_buckets:
+                    ids = np.full((batch, length), -1, dtype=np.int32)
+                    ids[:, 0] = 0
+                    self._predict_durations(
+                        ids, cond=np.zeros((1, length, d), np.float32)
+                    )
+            if verbose:
+                print("warm duration-mode prompt-cond dp programs", flush=True)
         self._warm = True
         return time.time() - t0
 

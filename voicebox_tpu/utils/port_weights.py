@@ -21,6 +21,7 @@ mismatches.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict
 
 import numpy as np
@@ -73,10 +74,24 @@ def fuse_weight_norm(
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint into numpy without needing CUDA."""
+    """Load a torch checkpoint into numpy without needing CUDA.
+
+    Tries `weights_only=True` first so plain-tensor checkpoints never
+    execute pickled code; only falls back to the unsafe full unpickler
+    (the reference's posture, trainer.py:203) with a loud warning naming
+    the file, for checkpoints that carry non-tensor python objects."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        warnings.warn(
+            f"torch.load(weights_only=True) failed for {path!r}; falling "
+            "back to the full (arbitrary-code) unpickler. Only do this for "
+            "checkpoints you trust.",
+            stacklevel=2,
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     if isinstance(sd, dict) and "model" in sd and all(

@@ -327,7 +327,16 @@ class PairedDataLoader:
     Yields a tuple of `(padded, mask)` per field. Integer fields pad with
     `pad_values[i]` (-1 = the framework's id pad convention); float fields
     pad with 0. 1-D int fields, 1-D waves, and 2-D `(n, d)` latents are all
-    supported (length is axis 0)."""
+    supported (length is axis 0).
+
+    Multi-host SPMD (`shard=(rank, world)`, mirroring `DataLoader`): every
+    process runs the same-seeded loader, MATERIALISES the full batch's items
+    to agree on the per-field bucket targets (token/latent items are cheap —
+    unlike `DataLoader`'s audio datasets there is no header-only length
+    shortcut for arbitrary tuple fields), and yields only its rank-block of
+    `shard_group_size/world` rows inside each group of `shard_group_size`
+    (default: the whole batch); the trainer assembles the global jax.Array
+    with `jax.make_array_from_process_local_data`."""
 
     def __init__(
         self,
@@ -340,6 +349,8 @@ class PairedDataLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        shard: Optional[Tuple[int, int]] = None,
+        shard_group_size: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -351,10 +362,39 @@ class PairedDataLoader:
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        if shard is not None:
+            rank, world = shard
+            assert 0 <= rank < world, shard
+            group = shard_group_size if shard_group_size is not None else batch_size
+            assert batch_size % group == 0, (batch_size, group)
+            assert group % world == 0, (
+                f"micro-batch group {group} must divide over {world} processes"
+            )
+        self.shard = shard
+        self.shard_group_size = shard_group_size
+
+    def _local_positions(self, n_rows: int) -> np.ndarray:
+        """Positions within the global batch this process yields: its
+        rank-block inside each `shard_group_size` group (same grouping as
+        `DataLoader._local_rows`, matching the (accum, micro) reshape)."""
+        if self.shard is None:
+            return np.arange(n_rows)
+        rank, world = self.shard
+        group = self.shard_group_size or self.batch_size
+        block = group // world
+        out = []
+        for g_start in range(0, n_rows, group):
+            lo = g_start + rank * block
+            out.append(np.arange(lo, lo + block))
+        return np.concatenate(out)
 
     def _collate_field(self, items: List[np.ndarray], multiple: int,
-                       pad_value, max_length: Optional[int]):
-        target = pad_to_multiple(max(it.shape[0] for it in items), multiple)
+                       pad_value, max_length: Optional[int],
+                       force_target: Optional[int] = None):
+        if force_target is not None:
+            target = force_target
+        else:
+            target = pad_to_multiple(max(it.shape[0] for it in items), multiple)
         if max_length is not None and target > max_length:
             target = max_length
         batch = np.full(
@@ -381,6 +421,23 @@ class PairedDataLoader:
                     [idx, np.resize(order, self.batch_size - len(idx))]
                 )
             rows = [self.dataset[int(i)] for i in idx]
+            if self.shard is not None:
+                # per-field targets from the FULL batch (all hosts agree),
+                # then collate only this process's rank-block rows
+                local = self._local_positions(len(rows))
+                yield tuple(
+                    self._collate_field(
+                        [np.asarray(rows[int(p)][f]) for p in local],
+                        self.bucket_multiples[f], self.pad_values[f],
+                        self.max_lengths[f],
+                        force_target=pad_to_multiple(
+                            max(np.asarray(row[f]).shape[0] for row in rows),
+                            self.bucket_multiples[f],
+                        ),
+                    )
+                    for f in range(len(self.bucket_multiples))
+                )
+                continue
             yield tuple(
                 self._collate_field(
                     [np.asarray(row[f]) for row in rows],

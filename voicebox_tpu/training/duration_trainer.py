@@ -254,8 +254,7 @@ class DurationPredictorTrainer(StageTrainer):
             sharding = self._batch_sharding
         else:
             sharding = self._flat_sharding
-        if sharding is not None:
-            arrays = [jax.device_put(a, sharding) for a in arrays]
+        arrays = [self._put_batch(a, sharding) for a in arrays]
         return arrays
 
     # ------------------------------------------------------------------

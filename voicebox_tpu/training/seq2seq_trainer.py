@@ -200,9 +200,8 @@ class TextToSemanticTrainer(StageTrainer):
             sharding = self._batch_sharding
         else:
             sharding = self._flat_sharding
-        if sharding is not None:
-            text_ids = jax.device_put(text_ids, sharding)
-            sem_ids = jax.device_put(sem_ids, sharding)
+        text_ids = self._put_batch(text_ids, sharding)
+        sem_ids = self._put_batch(sem_ids, sharding)
         return text_ids, sem_ids
 
     # ------------------------------------------------------------------

@@ -31,6 +31,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import jax
+
+if __name__ == "__main__":
+    # standalone runs pin CPU: thousands of tiny train steps dispatch
+    # op-by-op over the tunneled TPU backend (~30 ms RTT each) — the CPU
+    # finishes the whole canary faster (CLAUDE.md environment facts)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from e2e_quality_canary import (  # noqa: E402

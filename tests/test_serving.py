@@ -498,6 +498,24 @@ class TestDynamicBatcher:
         b._thread.join(timeout=10)
         assert not b._thread.is_alive(), "worker leaked: sentinel was eaten"
 
+    def test_clone_rides_the_batcher(self, engine):
+        """submit_clone interleaves voice-cloning requests with batched
+        synthesis on the one device-owning worker thread."""
+        from voicebox_tpu.serving import DynamicBatcher
+
+        engine.warmup()
+        prompt = np.random.RandomState(0).randn(1, 4, 32).astype(np.float32)
+        p_ids = np.zeros((1, 4), np.int32)
+        with DynamicBatcher(engine, max_wait_ms=20.0) as batcher:
+            f_text = batcher.submit("hello")
+            f_clone = batcher.submit_clone("hello there", prompt,
+                                           prompt_ids=p_ids)
+            clip = np.asarray(f_text.result(120))
+            cont = np.asarray(f_clone.result(120))
+        assert np.isfinite(clip).all() and np.isfinite(cont).all()
+        assert cont.ndim == 3 and cont.shape[0] == 1 and cont.shape[1] > 0
+        assert batcher.stats["requests"] == 2
+
     def test_exception_propagates_to_futures(self, engine):
         engine.warmup()
         b = self._batcher(engine, max_wait_ms=1.0)

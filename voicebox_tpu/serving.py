@@ -856,7 +856,23 @@ class DynamicBatcher:
         fut: Future = Future()
         with self._submit_lock:
             assert not self._closed, "batcher is closed"
-            self._queue.put((text, fut))
+            self._queue.put(("synth", text, fut))
+        return fut
+
+    def submit_clone(self, text: str, prompt, *, prompt_ids=None,
+                     prompt_text=None) -> Future:
+        """Enqueue a voice-cloning request (`engine.clone` semantics);
+        returns a Future resolving to the full trimmed continuation. Cloning
+        rides the long-form window programs one request at a time, so clones
+        don't batch with each other — the batcher's value here is the single
+        device-owning worker thread (the TPU wants one client): clones and
+        batched synthesis interleave safely from any number of submitters."""
+        fut: Future = Future()
+        with self._submit_lock:
+            assert not self._closed, "batcher is closed"
+            self._queue.put(
+                ("clone", (text, prompt, prompt_ids, prompt_text), fut)
+            )
         return fut
 
     def synthesize(self, text: str, timeout: Optional[float] = None):
@@ -891,7 +907,7 @@ class DynamicBatcher:
                     self._queue.put(item)
                     break
                 continue
-            _, fut = item
+            *_, fut = item
             fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def __enter__(self):
@@ -945,15 +961,31 @@ class DynamicBatcher:
             if batch is None:
                 return
             # group by text bucket: one engine call per bucket keeps short
-            # requests on short programs
+            # requests on short programs; clones run one-at-a-time on the
+            # same (single device-owning) thread
             groups: dict = {}
-            for text, fut in batch:
+            clones = []
+            for kind, payload, fut in batch:
+                if kind == "clone":
+                    clones.append((payload, fut))
+                    continue
+                text = payload
                 try:
                     key = self._bucket_key(text, tok)
                 except Exception as e:  # tokenizer failure: fail that request
                     fut.set_exception(e)
                     continue
                 groups.setdefault(key, []).append((text, fut))
+            for (text, prompt, prompt_ids, prompt_text), fut in clones:
+                self._rng, call_rng = jax.random.split(self._rng)
+                try:
+                    fut.set_result(self.engine.clone(
+                        text, prompt, prompt_ids=prompt_ids,
+                        prompt_text=prompt_text, rng=call_rng,
+                    ))
+                    self.stats["requests"] += 1
+                except Exception as e:
+                    fut.set_exception(e)
             for key, items in groups.items():
                 texts = [t for t, _ in items]
                 self._rng, call_rng = jax.random.split(self._rng)

@@ -285,6 +285,32 @@ class TestDurationCloning:
                 "hello", np.zeros((1, 4, 32), np.float32)
             ))
 
+    def test_warmup_follows_dp_codec_latent_dim(self):
+        """r5 review finding: the with-cond dp warmup program must size its
+        cond by the DP'S OWN codec rule (audio_enc_dec.latent_dim if set),
+        not the voicebox codec's / net dim — a latent-serving engine whose
+        dp has latent_dim != dim crashed warmup before the fix."""
+        from types import SimpleNamespace
+
+        tok = GraphemeTokenizer()
+        dp = DurationPredictor(
+            tokenizer=tok, dim=32, depth=2, dim_phoneme_emb=32,
+            dim_head=8, heads=4, aligner_dim_in=16, aligner_attn_channels=16,
+            audio_enc_dec=SimpleNamespace(latent_dim=12),
+        )
+        dp.init_params(jax.random.PRNGKey(0), seq_len=16, n_phonemes=8)
+        vb = VoiceBox(dim_in=32, dim=32, depth=2, dim_head=8, heads=4,
+                      dim_cond_emb=32, num_register_tokens=2,
+                      condition_on_text=True, num_cond_tokens=tok.vocab_size)
+        cfm = ConditionalFlowMatcherWrapper(vb, duration_predictor=dp)
+        cfm.init_params(jax.random.PRNGKey(1), seq_len=12, batch=1)
+        eng = TTSEngine(cfm, text_buckets=(8,), batch_buckets=(1,), steps=2,
+                        decode_to_audio=False, frames_per_token=4,
+                        long_window_frames=8, long_overlap_frames=2)
+        eng.warmup()  # crashed (proj_in shape error) before the fix
+        out = eng.synthesize(["hi"])
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestOverflowHandling:
     def test_requests_beyond_largest_batch_bucket_all_served(self, engine):
@@ -515,6 +541,28 @@ class TestDynamicBatcher:
         assert np.isfinite(clip).all() and np.isfinite(cont).all()
         assert cont.ndim == 3 and cont.shape[0] == 1 and cont.shape[1] > 0
         assert batcher.stats["requests"] == 2
+
+    def test_cancelled_future_does_not_kill_worker(self, engine):
+        """r5 review finding: set_result on a cancelled Future raises
+        InvalidStateError — without the set_running_or_notify_cancel guard
+        the worker thread died and every later request hung."""
+        from voicebox_tpu.serving import DynamicBatcher
+
+        engine.warmup()
+        batcher = DynamicBatcher(engine, autostart=False)
+        try:
+            doomed = batcher.submit("doomed")
+            prompt = np.zeros((1, 4, 32), np.float32)
+            doomed_clone = batcher.submit_clone(
+                "doomed too", prompt, prompt_ids=np.zeros((1, 4), np.int32)
+            )
+            assert doomed.cancel() and doomed_clone.cancel()
+            live = batcher.submit("hello")
+            batcher.start()
+            clip = np.asarray(live.result(120))  # hangs if the worker died
+            assert np.isfinite(clip).all()
+        finally:
+            batcher.close()
 
     def test_exception_propagates_to_futures(self, engine):
         engine.warmup()

@@ -39,6 +39,7 @@ import numpy as np
 
 from ..ops.interp import curtail_or_pad
 from ..ops.ode import cfm_interpolant, odeint
+from .duration import masked_frame_durations
 from .voicebox import VoiceBox
 
 __all__ = ["ConditionalFlowMatcherWrapper", "is_probably_audio_from_shape"]
@@ -617,14 +618,14 @@ class ConditionalFlowMatcherWrapper:
                     )
                 )
                 cond_token_ids = jnp.asarray(aligned_phoneme_ids)
-                # speech span = sum of (rounded, >=1) predicted durations over
-                # VALID phoneme positions only — bucket pads (id -1) would
+                # speech span = sum of per-position durations over VALID
+                # phoneme positions only — bucket pads (id -1) would
                 # otherwise each contribute >= 1 junk frame to the
-                # return_lengths validity signal (reference durations are
-                # per-valid-phoneme, voicebox_pytorch.py:833-839)
-                per_pos = jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32)
+                # return_lengths validity signal. The rounding/masking rule
+                # is THE shared one (duration.masked_frame_durations), so
+                # this count can never drift from the aligned id stream.
                 dp_frames = jnp.sum(
-                    jnp.where(phoneme_ids >= 0, per_pos, 0), axis=-1
+                    masked_frame_durations(phoneme_ids, durations), axis=-1
                 )
 
             cond_tokens_seq_len = cond_token_ids.shape[-1]

@@ -238,6 +238,21 @@ class DurationPredictorNet(nn.Module):
         return loss
 
 
+def masked_frame_durations(phoneme_ids, durations):
+    """THE duration-rounding rule, shared by id alignment
+    (`align_phoneme_ids_with_durations`), `cfm.sample`'s `return_lengths`
+    frame counts, and the serving engine's horizon math
+    (`serving.py::_predict_durations`) so the three can never drift:
+    `clip(round(d), 1)` per position — every REAL phoneme speaks for at
+    least one frame (reference voicebox_pytorch.py:833-839) — then ZERO at
+    pad positions (id < 0, bucket padding), which the reference never sees
+    because its ids are unpadded per-valid-phoneme. Dispatches on the input
+    type so host (numpy) callers stay off the device."""
+    xp = jnp if isinstance(durations, jax.Array) else np
+    per = xp.clip(xp.round(durations), 1, None).astype(xp.int32)
+    return xp.where(xp.asarray(phoneme_ids) >= 0, per, 0)
+
+
 def align_phoneme_ids_with_durations(
     phoneme_ids: jax.Array, durations: jax.Array, total_length: Optional[int] = None
 ) -> jax.Array:
@@ -247,13 +262,11 @@ def align_phoneme_ids_with_durations(
     cumsum[i-1] <= j < cumsum[i] — a searchsorted gather instead of the
     reference's (b, n, total) one-hot einsum (O(n*total) memory saved).
 
-    Pad positions (id < 0, bucket padding) contribute ZERO duration: the
-    reference's ids are unpadded per-valid-phoneme (voicebox_pytorch.py:
-    833-839), so a pad's clipped >=1 duration would inflate the speech span
-    and gather pad ids into the frames between the valid-prefix sum and the
-    inflated total."""
-    durations = jnp.clip(jnp.round(durations), 1, None).astype(jnp.int32)
-    durations = jnp.where(phoneme_ids >= 0, durations, 0)
+    Pad positions (id < 0, bucket padding) contribute ZERO duration
+    (`masked_frame_durations`): a pad's clipped >=1 duration would inflate
+    the speech span and gather pad ids into the frames between the
+    valid-prefix sum and the inflated total."""
+    durations = masked_frame_durations(phoneme_ids, jnp.asarray(durations))
     boundaries = jnp.cumsum(durations, axis=-1)  # (b, n_ph)
     if total_length is None:
         total_length = int(jnp.max(boundaries[:, -1]))

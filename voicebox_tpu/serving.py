@@ -177,6 +177,8 @@ class TTSEngine:
         length — the net does the same curtail internally (reference
         voicebox_pytorch.py:815-819), so this keeps the program shape on the
         text-bucket grid regardless of prompt length."""
+        from .models.duration import masked_frame_durations
+
         dp = self.wrapper.duration_predictor
         if cond is not None:
             c = np.asarray(cond, dtype=np.float32)
@@ -190,8 +192,9 @@ class TTSEngine:
         durations = dp.forward_with_cond_scale(
             cond=cond, phoneme_ids=jnp.asarray(ids)
         )
-        per = np.clip(np.round(np.asarray(durations)), 1, None).astype(np.int64)
-        return np.where(ids >= 0, per, 0)
+        # the SHARED rounding/masking rule (numpy inputs -> host math, no
+        # device round-trip on the request path)
+        return masked_frame_durations(ids, np.asarray(durations))
 
     @staticmethod
     def _align_ids_np(ids: np.ndarray, per_pos: np.ndarray,
@@ -386,86 +389,75 @@ class TTSEngine:
             return self.wrapper.frames_per_semantic_token()
         return 1.0
 
+    def _segment_groups(self, ids_row: np.ndarray):
+        """Shared long-form scaffolding: segment an over-bucket id row onto
+        the largest text bucket, then group same-bucket segments into
+        batched work items — same-bucket segments run ONE warmed
+        (batch, length) program per group instead of one call each. Returns
+        (n_segments, [(segment indices, (batch, length) stacked ids), ...])."""
+        seg = self.text_buckets[-1]
+        items = []  # (bucket length, (1, length) padded row)
+        for s in range(0, ids_row.shape[1], seg):
+            chunk = ids_row[:, s : s + seg]
+            length = self._bucket(chunk.shape[1], self.text_buckets)
+            items.append((length, self._pad_ids(chunk, 1, length)))
+        by_len: dict = {}
+        for i, (length, _) in enumerate(items):
+            by_len.setdefault(length, []).append(i)
+        max_batch = self.batch_buckets[-1]
+        groups = []
+        for length, idxs in by_len.items():
+            for start in range(0, len(idxs), max_batch):
+                sel = idxs[start : start + max_batch]
+                batch = self._bucket(len(sel), self.batch_buckets)
+                stacked = self._pad_ids(
+                    np.concatenate([items[i][1] for i in sel], axis=0),
+                    batch, length,
+                )
+                groups.append((sel, stacked))
+        return len(items), groups
+
     def _long_frame_ids(self, ids_row: np.ndarray, cond=None):
         """(1, n_tokens) over-bucket token ids -> (conditioning ids (1, m),
         exact_frames). Text is segmented onto the largest text bucket; each
-        segment runs the warmed bucket program (AR semantic generation, or
-        duration prediction + alignment), valid outputs are trimmed and
-        concatenated host-side. `cond`: duration mode only — voice-prompt
-        latents conditioning the duration predictions."""
-        seg = self.text_buckets[-1]
-        parts = []
+        segment group runs the warmed bucket program (AR semantic
+        generation, or duration prediction + host-side alignment), valid
+        outputs are trimmed and concatenated host-side. `cond`: duration
+        mode only — voice-prompt latents conditioning the duration
+        predictions (the reference passes the same cond to the duration
+        predictor, voicebox_pytorch.py:1231-1241)."""
+        n_segments, groups = self._segment_groups(ids_row)
+        parts = [None] * n_segments
         if self.mode == "semantic":
-            # segments BATCH through the warmed (batch, length) bucket
-            # programs: the AR decode scan runs the same number of steps for
-            # batch 1 or 8, so batching k same-bucket segments generates
-            # their ids ~k x faster — long-form time-to-first-audio is
-            # dominated by exactly this stage
+            # batching matters most here: the AR decode scan runs the same
+            # number of steps for batch 1 or 8, so batching k same-bucket
+            # segments generates their ids ~k x faster — long-form
+            # time-to-first-audio is dominated by exactly this stage
             tts = self.wrapper.text_to_semantic
-            items = []  # (bucket length, (1, length) padded row)
-            for s in range(0, ids_row.shape[1], seg):
-                chunk = ids_row[:, s : s + seg]
-                length = self._bucket(chunk.shape[1], self.text_buckets)
-                items.append((length, self._pad_ids(chunk, 1, length)))
-            parts = [None] * len(items)
-            by_len: dict = {}
-            for i, (length, _) in enumerate(items):
-                by_len.setdefault(length, []).append(i)
-            max_batch = self.batch_buckets[-1]
-            for length, idxs in by_len.items():
-                for start in range(0, len(idxs), max_batch):
-                    sel = idxs[start : start + max_batch]
-                    batch = self._bucket(len(sel), self.batch_buckets)
-                    stacked = self._pad_ids(
-                        np.concatenate([items[i][1] for i in sel], axis=0),
-                        batch, length,
-                    )
-                    sem, mask = tts.generate(
-                        source=jnp.asarray(stacked),
-                        source_type="text",
-                        target_type="speech",
-                        max_length=self.max_semantic_token_ids,
-                        return_target_mask=True,
-                        spec_decode=self.spec_decode,
-                    )
-                    sem, mask = np.asarray(sem), np.asarray(mask)
-                    for j, i in enumerate(sel):
-                        n_valid = int(mask[j].sum())
-                        parts[i] = sem[j : j + 1, : max(n_valid, 1)]
+            for sel, stacked in groups:
+                sem, mask = tts.generate(
+                    source=jnp.asarray(stacked),
+                    source_type="text",
+                    target_type="speech",
+                    max_length=self.max_semantic_token_ids,
+                    return_target_mask=True,
+                    spec_decode=self.spec_decode,
+                )
+                sem, mask = np.asarray(sem), np.asarray(mask)
+                for j, i in enumerate(sel):
+                    n_valid = int(mask[j].sum())
+                    parts[i] = sem[j : j + 1, : max(n_valid, 1)]
         else:
-            # duration segments batch through the warmed (batch, length)
-            # bucket programs exactly like semantic ones: same-bucket
-            # segments run ONE duration prediction per (batch, length) group
-            # instead of one call each. Alignment runs host-side at each
-            # segment's EXACT masked duration sum, so the long path never
-            # clamps or truncates a segment's predicted span. `cond` (a
-            # voice prompt, (1, p, d) latents) conditions every segment's
-            # durations on the prompt voice (reference passes the same cond
-            # to the duration predictor, voicebox_pytorch.py:1231-1241).
-            items = []  # (bucket length, (1, length) padded row)
-            for s in range(0, ids_row.shape[1], seg):
-                chunk = ids_row[:, s : s + seg]
-                length = self._bucket(chunk.shape[1], self.text_buckets)
-                items.append((length, self._pad_ids(chunk, 1, length)))
-            parts = [None] * len(items)
-            by_len: dict = {}
-            for i, (length, _) in enumerate(items):
-                by_len.setdefault(length, []).append(i)
-            max_batch = self.batch_buckets[-1]
-            for length, idxs in by_len.items():
-                for start in range(0, len(idxs), max_batch):
-                    sel = idxs[start : start + max_batch]
-                    batch = self._bucket(len(sel), self.batch_buckets)
-                    stacked = self._pad_ids(
-                        np.concatenate([items[i][1] for i in sel], axis=0),
-                        batch, length,
+            # alignment runs host-side at each segment's EXACT masked
+            # duration sum, so the long path never clamps or truncates a
+            # predicted span
+            for sel, stacked in groups:
+                per = self._predict_durations(stacked, cond=cond)
+                for j, i in enumerate(sel):
+                    n_valid = max(int(per[j].sum()), 1)
+                    parts[i] = self._align_ids_np(
+                        stacked[j : j + 1], per[j : j + 1], n_valid
                     )
-                    per = self._predict_durations(stacked, cond=cond)
-                    for j, i in enumerate(sel):
-                        n_valid = max(int(per[j].sum()), 1)
-                        parts[i] = self._align_ids_np(
-                            stacked[j : j + 1], per[j : j + 1], n_valid
-                        )
         cond_ids = np.concatenate(parts, axis=1)
         exact = int(np.ceil(cond_ids.shape[1] * self._long_ratio()))
         return cond_ids, exact
@@ -763,14 +755,17 @@ class TTSEngine:
                     jnp.asarray(w2v(w_in)).block_until_ready()
                 if verbose:
                     print(f"warm prompt bucket {secs}s", flush=True)
-        if (self.enable_long_form and self.prompt_seconds_buckets
-                and self.mode == "duration"):
-            # duration-mode cloning conditions the dp on prompt latents:
-            # the cond is pre-curtailed to the PHONEME length, so one
-            # with-cond dp program per (batch, text-length) bucket covers
-            # every prompt length
-            d = (codec.latent_dim if codec is not None
-                 else self.wrapper.duration_predictor.net.dim)
+        if self.enable_long_form and self.mode == "duration":
+            # duration-mode cloning conditions the dp on prompt latents
+            # (raw-audio AND latent prompts — latent prompts need no codec
+            # programs but DO hit these): the cond is pre-curtailed to the
+            # PHONEME length, so one with-cond dp program per
+            # (batch, text-length) bucket covers every prompt length. The
+            # cond feature dim follows the DP'S OWN codec rule
+            # (duration.py::forward_with_cond_scale), not the voicebox's.
+            dp = self.wrapper.duration_predictor
+            d = (dp.audio_enc_dec.latent_dim
+                 if dp.audio_enc_dec is not None else dp.net.dim)
             for batch in self.batch_buckets:
                 for length in self.text_buckets:
                     ids = np.full((batch, length), -1, dtype=np.int32)
@@ -908,7 +903,8 @@ class DynamicBatcher:
                     break
                 continue
             *_, fut = item
-            fut.set_exception(RuntimeError("DynamicBatcher closed"))
+            if fut.set_running_or_notify_cancel():  # skip already-cancelled
+                fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def __enter__(self):
         return self.start()
@@ -966,6 +962,13 @@ class DynamicBatcher:
             groups: dict = {}
             clones = []
             for kind, payload, fut in batch:
+                # transition pending -> running; False means the caller
+                # cancelled while queued. Skipping here ALSO makes the later
+                # set_result/set_exception safe (a running Future can no
+                # longer be cancelled, so neither can raise
+                # InvalidStateError and kill the worker thread).
+                if not fut.set_running_or_notify_cancel():
+                    continue
                 if kind == "clone":
                     clones.append((payload, fut))
                     continue

@@ -297,6 +297,11 @@ class StageTrainer(TrainerBase):
         if mesh is None and use_mesh and len(jax.devices()) > 1:
             mesh = make_mesh()
         self.mesh = mesh
+        assert not (jax.process_count() > 1 and mesh is None), (
+            "multi-process stage training needs a mesh (use_mesh=True or "
+            "pass mesh=): without one every process would silently train an "
+            "independent replica and race on checkpoint writes"
+        )
         self._multihost = jax.process_count() > 1 and mesh is not None
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]

@@ -192,6 +192,130 @@ def sample_oracle_ids(pipe, sem_ids: np.ndarray, params=None,
     return jnp.asarray(np.asarray(out))
 
 
+def build_and_train_gen_duration(
+    n_train: int = 24,
+    n_held: int = 8,
+    dp_steps: int = 800,
+    cfm_steps: int = 2000,
+    seed: int = 0,
+    verbose=print,
+):
+    """Duration-pipeline sibling (BASELINE config 4): DurationPredictor
+    (NS2 aligner + MAS) and CFM both train on the train split only; held-out
+    texts sample through cfm.sample's duration branch — the serving path.
+    Returns (pipe, train_texts, held_texts, gt_train, gt_held)."""
+    import optax
+    from types import SimpleNamespace
+
+    from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+    from voicebox_tpu.models.duration import DurationPredictor
+    from voicebox_tpu.utils.tokenizer import GraphemeTokenizer
+
+    train_texts, held_texts = make_corpus(n_train, n_held, seed)
+    gt_tr = log_mel_latents(np.stack([synth(t, 24000) for t in train_texts]))
+    gt_he = log_mel_latents(np.stack([synth(t, 24000) for t in held_texts]))
+    b, n_frames, n_mels = gt_tr.shape
+
+    tok = GraphemeTokenizer()
+    phoneme_ids = jnp.asarray(tok.texts_to_tensor_ids(train_texts))
+    n_ph = phoneme_ids.shape[1]
+
+    dp = DurationPredictor(
+        tokenizer=tok, dim=64, depth=2, dim_phoneme_emb=64, dim_head=16,
+        heads=4, aligner_dim_in=n_mels, aligner_attn_channels=n_mels,
+        audio_enc_dec=SimpleNamespace(latent_dim=n_mels),
+    )
+    dp.init_params(jax.random.PRNGKey(seed), seq_len=n_frames,
+                   n_phonemes=n_ph, batch=b)
+    ph_mask = phoneme_ids != -1
+    mel_mask = jnp.ones((b, n_frames), dtype=bool)
+    ph_len = ph_mask.sum(-1).astype(jnp.int32)
+    mel_len = jnp.full((b,), n_frames, dtype=jnp.int32)
+
+    dopt = optax.adam(2e-3)
+    dopt_state = jax.jit(dopt.init)(dp.params)
+
+    @jax.jit
+    def dp_step(params, opt_state, rng):
+        loss, grads = jax.value_and_grad(dp.loss_fn)(
+            params, rng, cond=gt_tr, phoneme_ids=phoneme_ids, mel=gt_tr,
+            phoneme_len=ph_len, mel_len=mel_len, phoneme_mask=ph_mask,
+            mel_mask=mel_mask,
+        )
+        updates, opt_state = dopt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(seed + 1)
+    for _ in range(dp_steps):
+        rng, k = jax.random.split(rng)
+        dp.params, dopt_state, dl = dp_step(dp.params, dopt_state, k)
+    verbose(f"duration-predictor loss after {dp_steps} steps: {float(dl):.4f}")
+
+    _, aligned = dp.forward_with_cond_scale(
+        cond=None, phoneme_ids=phoneme_ids,
+        return_aligned_phoneme_ids=True, total_length=n_frames,
+    )
+    aligned = jnp.asarray(aligned)
+
+    vb = VoiceBox(dim_in=n_mels, dim=128, depth=4, dim_head=32, heads=4,
+                  dim_cond_emb=64, num_register_tokens=2,
+                  condition_on_text=True, num_cond_tokens=tok.vocab_size)
+    cfm = ConditionalFlowMatcherWrapper(vb, duration_predictor=dp,
+                                        cond_drop_prob=0.1)
+    cfm.init_params(jax.random.PRNGKey(seed + 2), seq_len=n_frames, batch=b)
+    copt = optax.adam(1e-3)
+    copt_state = jax.jit(copt.init)(cfm.params)
+
+    @jax.jit
+    def cfm_step(params, opt_state, rng):
+        loss, grads = jax.value_and_grad(cfm.loss_fn)(
+            params, gt_tr, rng, cond_token_ids=aligned
+        )
+        updates, opt_state = copt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(seed + 3)
+    for _ in range(cfm_steps):
+        rng, k = jax.random.split(rng)
+        cfm.params, copt_state, cl = cfm_step(cfm.params, copt_state, k)
+    verbose(f"cfm loss after {cfm_steps} steps: {float(cl):.4f}")
+
+    pipe = {"cfm": cfm, "dp": dp, "tok": tok,
+            "n_frames": n_frames, "n_mels": n_mels}
+    return pipe, train_texts, held_texts, gt_tr, gt_he
+
+
+def sample_texts_duration(pipe, texts, params=None, steps: int = 16,
+                          cond_scale: float = 1.0, rng=None):
+    """texts -> log-mel latents through cfm.sample's duration branch."""
+    rng = rng if rng is not None else jax.random.PRNGKey(42)
+    return pipe["cfm"].sample(
+        texts=list(texts), frame_length=pipe["n_frames"], steps=steps,
+        cond_scale=cond_scale, decode_to_audio=False, rng=rng, params=params,
+    )
+
+
+def main_duration():
+    pipe, train_texts, held_texts, gt_tr, gt_he = build_and_train_gen_duration()
+    msd_he = mel_msd(sample_texts_duration(pipe, held_texts), gt_he)
+    msd_tr = mel_msd(sample_texts_duration(pipe, train_texts), gt_tr)
+    untrained = pipe["cfm"].init_params(jax.random.PRNGKey(99),
+                                        seq_len=pipe["n_frames"], batch=1)
+    msd0_he = mel_msd(
+        sample_texts_duration(pipe, held_texts, params=untrained), gt_he
+    )
+    cross_he = mel_msd(gt_he, jnp.asarray(np.roll(np.asarray(gt_he), 1,
+                                                  axis=0)))
+    print(f"held-out mel-spectral distance (duration pipeline, UNSEEN "
+          f"texts): {msd_he:.2f} dB/frame")
+    print(f"  train-split: {msd_tr:.2f}   untrained anchor: {msd0_he:.2f}   "
+          f"cross-utterance anchor: {cross_he:.2f}")
+    print({"metric": "e2e_heldout_mel_spectral_distance_duration",
+           "value": round(msd_he, 3), "unit": "dB L2/frame",
+           "train_split": round(msd_tr, 3), "untrained": round(msd0_he, 3),
+           "cross_utterance": round(cross_he, 3)})
+
+
 def main():
     pipe, train_texts, held_texts, gt_tr, gt_he = build_and_train_gen()
 
@@ -221,4 +345,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--duration" in sys.argv:
+        main_duration()
+    else:
+        main()

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
 from pathlib import Path
 from typing import Optional
 
@@ -297,11 +298,19 @@ class StageTrainer(TrainerBase):
         if mesh is None and use_mesh and len(jax.devices()) > 1:
             mesh = make_mesh()
         self.mesh = mesh
-        assert not (jax.process_count() > 1 and mesh is None), (
-            "multi-process stage training needs a mesh (use_mesh=True or "
-            "pass mesh=): without one every process would silently train an "
-            "independent replica and race on checkpoint writes"
-        )
+        if jax.process_count() > 1 and mesh is None:
+            # a warning, not an assert: deliberately training a LOCAL
+            # replica inside a multi-process runtime is legitimate (e.g. the
+            # single-process reference runs in tests/mp_stage_worker.py) —
+            # but doing it by accident trains N independent same-seeded
+            # replicas that race on shared checkpoint paths
+            warnings.warn(
+                "multi-process stage training without a mesh: every process "
+                "trains an INDEPENDENT replica (no gradient sync) — pass "
+                "use_mesh=True (or mesh=) unless this is a deliberate "
+                "process-local run, and keep results_folder process-unique",
+                stacklevel=3,
+            )
         self._multihost = jax.process_count() > 1 and mesh is not None
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]

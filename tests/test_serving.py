@@ -194,6 +194,36 @@ class TestDurationHorizonGuard:
             dp_engine.frame_buckets = orig_buckets
             dp_engine._predict_durations = orig_predict
 
+    def test_warm_overflow_buckets_keeps_overflow_compile_free(self):
+        """With warm_overflow_buckets=True, even an over-horizon request
+        (re-bucketed UP the frame grid) runs on a pre-compiled program —
+        zero request-path compiles."""
+        tok = GraphemeTokenizer()
+        dp = DurationPredictor(tokenizer=tok, dim=32, depth=2,
+                               dim_phoneme_emb=32, dim_head=8, heads=4,
+                               aligner_dim_in=16, aligner_attn_channels=16)
+        dp.init_params(jax.random.PRNGKey(0), seq_len=16, n_phonemes=8)
+        vb = VoiceBox(dim_in=32, dim=32, depth=2, dim_head=8, heads=4,
+                      dim_cond_emb=32, num_register_tokens=2,
+                      condition_on_text=True, num_cond_tokens=tok.vocab_size)
+        cfm = ConditionalFlowMatcherWrapper(vb, duration_predictor=dp)
+        cfm.init_params(jax.random.PRNGKey(1), seq_len=12, batch=1)
+        eng = TTSEngine(cfm, text_buckets=(8,), batch_buckets=(1,), steps=2,
+                        decode_to_audio=False, frames_per_token=2,
+                        frame_buckets=(16, 32), warm_overflow_buckets=True,
+                        enable_long_form=False)
+        eng.warmup()  # default horizon bucket(8*2)=16; also warms 32
+        eng._predict_durations = (
+            lambda ids, cond=None: np.where(ids >= 0, 7, 0)  # 3*7=21 > 16
+        )
+        before = _COMPILES.count
+        clips = eng.synthesize(["hey"], trim=True)
+        assert clips[0].shape[0] == 21  # complete clip at the 32 bucket
+        assert _COMPILES.count == before, (
+            f"{_COMPILES.count - before} XLA compiles on the warmed "
+            "overflow path"
+        )
+
     def test_overflow_beyond_largest_bucket_warns(self, dp_engine):
         dp_engine.warmup()
         orig_predict = dp_engine._predict_durations

@@ -81,6 +81,12 @@ class TTSEngine:
         # programs stay static; warmup() pre-compiles them when set. Latent
         # prompts need no extra programs. None disables raw-prompt cloning.
         prompt_seconds_buckets: Optional[Sequence[float]] = None,
+        # duration mode: ALSO pre-compile the sampler for every frame bucket
+        # an overflow re-bucket could pick (predicted span > the text
+        # bucket's default horizon), so even over-horizon requests never
+        # compile on the request path. Off by default — it adds
+        # batch_buckets x extra-frame-buckets warmup programs
+        warm_overflow_buckets: bool = False,
         # persist compiled bucket programs across process restarts: warmup
         # after the first deploy skips XLA compilation entirely
         # (utils/compilation_cache.py)
@@ -123,6 +129,7 @@ class TTSEngine:
             tuple(sorted(prompt_seconds_buckets))
             if prompt_seconds_buckets else None
         )
+        self.warm_overflow_buckets = warm_overflow_buckets
         self._warm = False
 
     # ------------------------------------------------------------------
@@ -713,6 +720,30 @@ class TTSEngine:
                 jnp.asarray(out).block_until_ready()
                 if verbose:
                     print(f"warm bucket batch={batch} len={length}", flush=True)
+        if self.mode == "duration" and self.warm_overflow_buckets:
+            # frame buckets only an overflow re-bucket reaches (every text
+            # bucket's DEFAULT horizon was just warmed above)
+            covered = {
+                self._bucket(l * self.frames_per_token, self.frame_buckets)
+                for l in self.text_buckets
+            }
+            for batch in self.batch_buckets:
+                for fb in self.frame_buckets:
+                    if fb in covered:
+                        continue
+                    out = self.wrapper.sample(
+                        semantic_token_ids=jnp.zeros((batch, fb), jnp.int32),
+                        ids_at_frame_rate=True,
+                        steps=self.steps,
+                        cond_scale=self.cond_scale,
+                        decode_to_audio=self.decode_to_audio,
+                        quantize=self.quantize,
+                        param_store_dtype=self.param_store_dtype,
+                    )
+                    jnp.asarray(out).block_until_ready()
+                    if verbose:
+                        print(f"warm overflow bucket batch={batch} "
+                              f"frames={fb}", flush=True)
         if self.enable_long_form:
             # one two-window stream compiles every long-path program: the
             # (b=1, window) infilling sampler and all three chunked-decode

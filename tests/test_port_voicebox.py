@@ -312,6 +312,40 @@ class TestVoiceboxPort:
         with pytest.raises(KeyError):
             load_duration_predictor_torch(sd_min, dp.params)
 
+    def test_wrapper_load_torch(self, tmp_path):
+        """End-to-end: the reference trainer's torch.save layout round-trips
+        through ConditionalFlowMatcherWrapper.load_torch."""
+        sd = _reference_state_dict()
+        pkg = {
+            "model": {f"voicebox.{k}": v for k, v in sd.items()},
+            "optim": {},
+            "scheduler": {},
+        }
+        path = tmp_path / "voicebox.42.pt"
+        torch.save(pkg, path)
+
+        vb = _flax_model()
+        cfm = ConditionalFlowMatcherWrapper(vb)
+        cfm.init_params(jax.random.PRNGKey(0), seq_len=32, batch=2)
+        before = cfm.params["to_embed"]["kernel"]
+        cfm.load_torch(str(path))
+        after = cfm.params["to_embed"]["kernel"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        np.testing.assert_allclose(
+            np.asarray(after),
+            sd["to_embed.weight"].numpy().T,
+            atol=1e-7,
+        )
+        # the ported model must actually run
+        out = cfm.sample(
+            cond=jnp.zeros((1, 32, DIM_IN)),
+            semantic_token_ids=jnp.zeros((1, 32), jnp.int32),
+            steps=2, rng=jax.random.PRNGKey(1),
+        )
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestGradParity:
     def test_gradient_parity(self):
         """VERDICT r4 missing #1: gradients through each framework's OWN
         backward on the same batch must match per-leaf — the last
@@ -386,35 +420,3 @@ class TestVoiceboxPort:
             checked += 1
         # every trainable reference tensor participates (2-layer model)
         assert checked == len(sd) - 1
-
-    def test_wrapper_load_torch(self, tmp_path):
-        """End-to-end: the reference trainer's torch.save layout round-trips
-        through ConditionalFlowMatcherWrapper.load_torch."""
-        sd = _reference_state_dict()
-        pkg = {
-            "model": {f"voicebox.{k}": v for k, v in sd.items()},
-            "optim": {},
-            "scheduler": {},
-        }
-        path = tmp_path / "voicebox.42.pt"
-        torch.save(pkg, path)
-
-        vb = _flax_model()
-        cfm = ConditionalFlowMatcherWrapper(vb)
-        cfm.init_params(jax.random.PRNGKey(0), seq_len=32, batch=2)
-        before = cfm.params["to_embed"]["kernel"]
-        cfm.load_torch(str(path))
-        after = cfm.params["to_embed"]["kernel"]
-        assert not np.allclose(np.asarray(before), np.asarray(after))
-        np.testing.assert_allclose(
-            np.asarray(after),
-            sd["to_embed.weight"].numpy().T,
-            atol=1e-7,
-        )
-        # the ported model must actually run
-        out = cfm.sample(
-            cond=jnp.zeros((1, 32, DIM_IN)),
-            semantic_token_ids=jnp.zeros((1, 32), jnp.int32),
-            steps=2, rng=jax.random.PRNGKey(1),
-        )
-        assert bool(jnp.all(jnp.isfinite(out)))

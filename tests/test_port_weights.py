@@ -19,6 +19,44 @@ from voicebox_tpu.utils.port_weights import (
 )
 
 
+class _Opaque:  # module-level so pickle can round-trip it; not allowlisted
+    pass         # by torch's weights_only=True unpickler
+
+
+class TestSafeCheckpointLoading:
+    """r4 weak #6: `load_torch_state_dict` must try the code-free
+    `weights_only=True` unpickler first — plain-tensor checkpoints (every
+    checkpoint this framework or the reference trainer writes) never
+    execute pickled code; only object-carrying checkpoints fall back, with
+    a loud warning naming the file."""
+
+    def test_plain_tensors_load_without_warning(self, tmp_path):
+        import warnings
+
+        import torch
+
+        from voicebox_tpu.utils.port_weights import load_torch_state_dict
+
+        path = tmp_path / "plain.pt"
+        torch.save({"w": torch.ones(2, 3), "b": torch.zeros(3)}, path)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning fails the test
+            sd = load_torch_state_dict(str(path))
+        assert sd["w"].shape == (2, 3)
+
+    def test_object_checkpoint_warns_on_fallback(self, tmp_path):
+        import pytest as _pytest
+        import torch
+
+        from voicebox_tpu.utils.port_weights import load_torch_state_dict
+
+        path = tmp_path / "objects.pt"
+        torch.save({"w": torch.ones(2), "meta": _Opaque()}, path)
+        with _pytest.warns(UserWarning, match="weights_only"):
+            sd = load_torch_state_dict(str(path))
+        assert sd["w"].shape == (2,)
+
+
 class TestLayerConversions:
     def test_linear(self):
         tl = torch.nn.Linear(6, 4)

@@ -63,6 +63,18 @@ class TestHubert:
         with pytest.raises(AssertionError):
             w2v(jnp.zeros((1, 500)))  # shorter than the multiple
 
+    def test_features_jit_cached_traces_once(self, wav2vec):
+        """r4 weak #4: features() must reuse ONE cached jit wrapper — a
+        fresh jax.jit per call retraced every invocation."""
+        wav = jnp.zeros((1, 3200))
+        wav2vec.features(wav)
+        jitted = wav2vec._features
+        n1 = jitted._cache_size()
+        wav2vec.features(wav)
+        wav2vec.features(wav)
+        assert wav2vec._features is jitted  # same wrapper object
+        assert jitted._cache_size() == n1  # repeat calls on one shape: no retrace
+
     def test_flatten_kwarg(self, wav2vec):
         wav = jax.random.normal(jax.random.PRNGKey(3), (2, 3200))
         a = wav2vec(wav, flatten=True)

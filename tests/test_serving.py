@@ -637,6 +637,56 @@ class TestDynamicBatcher:
             with pytest.raises(RuntimeError, match="closed"):
                 f.result(timeout=1)
 
+    def test_concurrent_submit_cancel_stress(self, engine):
+        """Race many submitter threads against random cancellations: every
+        future must terminate (result, error, or cancelled), the worker must
+        survive, and the batcher must still serve afterwards."""
+        import random
+        import threading
+        from concurrent.futures import CancelledError
+        from voicebox_tpu.serving import DynamicBatcher
+
+        engine.warmup()
+        prompt = np.zeros((1, 4, 32), np.float32)
+        p_ids = np.zeros((1, 4), np.int32)
+        futures, lock = [], threading.Lock()
+
+        def submitter(seed):
+            rs = random.Random(seed)
+            for _ in range(6):
+                try:
+                    if rs.random() < 0.25:
+                        f = batcher.submit_clone("hi there", prompt,
+                                                 prompt_ids=p_ids)
+                    else:
+                        f = batcher.submit(rs.choice(["a", "hello", "hey"]))
+                except AssertionError:  # closed under race: acceptable
+                    return
+                if rs.random() < 0.4:
+                    f.cancel()
+                with lock:
+                    futures.append(f)
+
+        with DynamicBatcher(engine, max_wait_ms=5.0) as batcher:
+            threads = [threading.Thread(target=submitter, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # every surviving future terminates
+            for f in futures:
+                if f.cancelled():
+                    continue
+                try:
+                    clip = f.result(timeout=240)
+                    assert np.isfinite(np.asarray(clip)).all()
+                except CancelledError:
+                    pass
+            # the worker is still alive and serving
+            final = np.asarray(batcher.submit("hello").result(240))
+        assert np.isfinite(final).all()
+
     def test_max_batch_respected(self, engine):
         engine.warmup()
         b = self._batcher(engine, max_wait_ms=50.0, max_batch=2,

@@ -4,20 +4,29 @@ Wires `TTSEngine` (pre-compiled bucket programs, zero request-path compiles)
 behind `DynamicBatcher` (concurrent requests coalesce into batched device
 programs) behind a threading HTTP server: every concurrent POST is a separate
 server thread, and the batcher funnels them onto the single device worker.
+The engine carries a MelVoco codec + Vocos vocoder, so responses are real
+WAV audio, and voice cloning is served on its own endpoint
+(`DynamicBatcher.submit_clone` — the prompt conditions the first infilling
+window, reference `sample(cond=prompt_audio, texts=...)`,
+voicebox_pytorch.py:1175-1201).
 
     python examples/serve_http.py [port]
 
     curl -s -X POST localhost:8080/synthesize -d '{"text": "hello world"}' \
          -o out.wav
+    # voice cloning: prompt is base64 of a mono 16-bit 24 kHz WAV (< 4 s)
+    curl -s -X POST localhost:8080/clone \
+         -d "{\"text\": \"in the prompt's voice\", \
+              \"prompt_wav\": \"$(base64 -w0 prompt.wav)\"}" -o cloned.wav
     curl -s localhost:8080/healthz
 
 Demo weights are random — the audio is noise; swap in a trained checkpoint
 via ConditionalFlowMatcherWrapper.load / load_torch for real speech.
 """
 
+import base64
 import io
 import json
-import struct
 import sys
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -29,11 +38,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SAMPLE_RATE = 24000
+
 
 def build_engine():
     from voicebox_tpu import ConditionalFlowMatcherWrapper, VoiceBox
+    from voicebox_tpu.models.codec import MelVoco
     from voicebox_tpu.models.hubert import HubertWithKmeans
     from voicebox_tpu.models.text_to_semantic import TextToSemantic
+    from voicebox_tpu.models.vocos import Vocos
     from voicebox_tpu.serving import TTSEngine
     from voicebox_tpu.utils.tokenizer import GraphemeTokenizer
 
@@ -41,26 +54,29 @@ def build_engine():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     w2v = HubertWithKmeans(num_clusters=500, dim=64, depth=2, heads=4)
-    tts = TextToSemantic(dim=256, source_depth=4, target_depth=4, heads=4,
-                         dim_head=64, wav2vec=w2v,
+    tts = TextToSemantic(dim=128, source_depth=2, target_depth=2, heads=4,
+                         dim_head=32, wav2vec=w2v,
                          tokenizer=GraphemeTokenizer())
     tts.init_params(jax.random.PRNGKey(0))
+    codec = MelVoco(vocos=Vocos(input_channels=100, dim=64,
+                                intermediate_dim=128, num_layers=2))
     vb = VoiceBox(
-        num_cond_tokens=500, dim_in=128, dim_cond_emb=512, dim=512, depth=8,
-        dim_head=128, heads=4, num_register_tokens=16, attn_qk_norm=True,
-        condition_on_text=True, dtype=dtype,
+        audio_enc_dec=codec, num_cond_tokens=500, dim_cond_emb=256, dim=256,
+        depth=4, dim_head=64, heads=4, num_register_tokens=8,
+        attn_qk_norm=True, condition_on_text=True, dtype=dtype,
     )
     cfm = ConditionalFlowMatcherWrapper(vb, text_to_semantic=tts)
     cfm.init_params(jax.random.PRNGKey(1), seq_len=64, batch=1)
     return TTSEngine(
         cfm, text_buckets=(32, 64), batch_buckets=(1, 2, 4),
         steps=3, max_semantic_token_ids=512, spec_decode=False,
-        decode_to_audio=False,  # random demo weights; no codec attached
+        long_window_frames=512, long_overlap_frames=64,
+        prompt_seconds_buckets=(2.0, 4.0),
     )
 
 
-def to_wav_bytes(x: np.ndarray, sample_rate: int = 24000) -> bytes:
-    """float waveform (or latents, flattened for the demo) -> 16-bit WAV."""
+def to_wav_bytes(x: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
+    """float waveform -> 16-bit mono WAV bytes."""
     x = np.asarray(x, np.float32).reshape(-1)
     peak = max(float(np.abs(x).max()), 1e-6)
     pcm = np.clip(x / peak, -1.0, 1.0)
@@ -72,6 +88,17 @@ def to_wav_bytes(x: np.ndarray, sample_rate: int = 24000) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(pcm16.tobytes())
     return buf.getvalue()
+
+
+def wav_bytes_to_float(b: bytes) -> np.ndarray:
+    """16-bit mono WAV bytes -> float waveform in [-1, 1]."""
+    with wave.open(io.BytesIO(b), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("prompt must be mono 16-bit PCM WAV")
+        if w.getframerate() != SAMPLE_RATE:
+            raise ValueError(f"prompt must be {SAMPLE_RATE} Hz")
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    return pcm.astype(np.float32) / 32767.0
 
 
 def main():
@@ -103,27 +130,50 @@ def main():
             else:
                 self._send(404, b"not found", "text/plain")
 
+        def _read_json(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path == "/synthesize":
+                try:
+                    text = self._read_json()["text"]
+                except Exception as e:
+                    self._send(400, f"bad request: {e}".encode(),
+                               "text/plain")
+                    return
+                try:
+                    clip = batcher.synthesize(text, timeout=600)
+                except Exception as e:
+                    self._send(500, f"synthesis failed: {e}".encode(),
+                               "text/plain")
+                    return
+                self._send(200, to_wav_bytes(np.asarray(clip)), "audio/wav")
+            elif self.path == "/clone":
+                try:
+                    req = self._read_json()
+                    text = req["text"]
+                    prompt = wav_bytes_to_float(
+                        base64.b64decode(req["prompt_wav"])
+                    )
+                except Exception as e:
+                    self._send(400, f"bad request: {e}".encode(),
+                               "text/plain")
+                    return
+                try:
+                    fut = batcher.submit_clone(text, prompt[None, :])
+                    clip = fut.result(timeout=600)
+                except Exception as e:
+                    self._send(500, f"cloning failed: {e}".encode(),
+                               "text/plain")
+                    return
+                self._send(200, to_wav_bytes(np.asarray(clip)), "audio/wav")
+            else:
                 self._send(404, b"not found", "text/plain")
-                return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                text = req["text"]
-            except Exception as e:
-                self._send(400, f"bad request: {e}".encode(), "text/plain")
-                return
-            try:
-                clip = batcher.synthesize(text, timeout=600)
-            except Exception as e:
-                self._send(500, f"synthesis failed: {e}".encode(),
-                           "text/plain")
-                return
-            self._send(200, to_wav_bytes(np.asarray(clip)), "audio/wav")
 
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"serving on :{port}  (POST /synthesize, GET /healthz)", flush=True)
+    print(f"serving on :{port}  (POST /synthesize, POST /clone, "
+          "GET /healthz)", flush=True)
     try:
         server.serve_forever()
     finally:
